@@ -1,0 +1,126 @@
+"""Configuration objects for embedding tables and training.
+
+Mirrors DeepRec's Python option family (reference:
+tensorflow/python/ops/variables.py:178-266 — EmbeddingVariableOption,
+GlobalStepEvict, L2WeightEvict, CounterFilter, CBFFilter, StorageOption) as
+plain dataclasses; no proto layer. These are *static* (hashable) configs —
+they parameterize jitted code, they are not pytree state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional, Tuple
+
+
+class StorageType(enum.Enum):
+    """Where long-tail rows live (reference embedding/config.proto:5
+    StorageType{DRAM,PMEM,SSD} -> TPU tiers)."""
+
+    HBM = "hbm"              # all rows in device HBM (default)
+    HBM_DRAM = "hbm_dram"    # hot rows in HBM, overflow tier in host DRAM
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalStepEvict:
+    """Evict rows untouched for ``steps_to_live`` steps, applied at
+    checkpoint time (reference embedding_var.h:289-313)."""
+
+    steps_to_live: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class L2WeightEvict:
+    """Evict rows whose squared L2 norm falls below the threshold
+    (reference embedding_var.h:264-287)."""
+
+    l2_weight_threshold: float = -1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CounterFilter:
+    """Admit a feature only after it has been seen ``filter_freq`` times
+    (reference embedding_filter.h:289 CounterFilter)."""
+
+    filter_freq: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CBFFilter:
+    """Counting-Bloom-filter admission: pre-admission counts live in a small
+    counter array instead of a table slot, so the never-admitted tail costs
+    O(bits) not O(row) (reference embedding_filter.h:28-130 BloomFilter).
+    """
+
+    filter_freq: int = 0
+    max_element_size: int = 0
+    false_positive_probability: float = 0.01
+    num_hashes: int = 4
+
+    def num_counters(self) -> int:
+        """Sizing rule matching the reference (embedding_config.h
+        calc_num_counter:59): m = -n·ln(p)/ln(2)², rounded up to pow2."""
+        if self.max_element_size <= 0:
+            return 1 << 20
+        m = -self.max_element_size * math.log(self.false_positive_probability) / (math.log(2) ** 2)
+        return 1 << max(10, math.ceil(math.log2(max(m, 1))))
+
+
+@dataclasses.dataclass(frozen=True)
+class StorageOption:
+    storage_type: StorageType = StorageType.HBM
+    # HBM-resident capacity (rows) when tiering; host tier is unbounded.
+    hbm_capacity: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Initializer:
+    """Key-deterministic row initializer.
+
+    kind: 'zeros' | 'constant' | 'uniform' | 'normal' | 'truncated_normal'.
+    Determinism per key means restores and shard-count changes reproduce the
+    exact same init values (the EV default-value-matrix semantics,
+    docs/Embedding-Variable.md: default row = matrix[id % default_value_dim]
+    — here the matrix is implicit in the key-hash).
+    """
+
+    kind: str = "truncated_normal"
+    scale: float = 0.05
+    constant: float = 0.0
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingVariableConfig:
+    """Static config of one dynamic embedding table (the
+    ``tf.get_embedding_variable``/EmbeddingVariableOption analog,
+    reference variable_scope.py:2141)."""
+
+    name: str
+    embedding_dim: int
+    capacity: int = 1 << 16          # power of two; grows by rebuild
+    initializer: Initializer = Initializer()
+    counter_filter: Optional[CounterFilter] = None
+    cbf_filter: Optional[CBFFilter] = None
+    evict: Optional[GlobalStepEvict | L2WeightEvict] = None
+    storage: StorageOption = StorageOption()
+    combiner: str = "mean"
+    max_probes: int = 32
+    value_dtype: str = "float32"
+    # Multi-hash (Q-R trick) / dynamic-dim variants are separate table types
+    # built on top of this config (sparse/multihash.py, sparse/dynamicdim.py).
+
+    def __post_init__(self):
+        if self.capacity & (self.capacity - 1):
+            raise ValueError("capacity must be a power of two")
+        if self.counter_filter and self.cbf_filter:
+            raise ValueError("choose at most one admission filter")
+
+    @property
+    def filter_freq(self) -> int:
+        if self.counter_filter:
+            return self.counter_filter.filter_freq
+        if self.cbf_filter:
+            return self.cbf_filter.filter_freq
+        return 0
