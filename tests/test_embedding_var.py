@@ -1,0 +1,276 @@
+"""EmbeddingVariable semantics tests — TPU analog of the reference suite
+tensorflow/python/ops/embedding_variable_ops_test.py (lookup, filters,
+eviction, save/restore, per-optimizer end-to-end)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import deeprec_tpu as dr
+from deeprec_tpu.sparse import embedding_var as ev
+from deeprec_tpu.sparse import keys as K
+from deeprec_tpu.optim import sparse as sopt
+
+
+def _cfg(**kw):
+    base = dict(name="t", embedding_dim=8, capacity=1 << 10,
+                initializer=dr.Initializer(kind="normal", scale=0.1))
+    base.update(kw)
+    return dr.EmbeddingVariableConfig(**base)
+
+
+def _ids(arr):
+    return K.from_numpy(np.asarray(arr, np.int64))
+
+
+class TestLookup:
+    def test_create_and_deterministic_init(self):
+        cfg = _cfg()
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([7, 9, 7, 11]), 0)
+        e1 = np.asarray(ev.lookup_dense(st, cfg, aux, (4,)))
+        assert e1.shape == (4, 8)
+        np.testing.assert_array_equal(e1[0], e1[2])  # same id, same row
+        assert not np.allclose(e1[0], e1[1])
+        # a fresh table initialises the same ids to the same vectors
+        st2 = ev.create(cfg)
+        st2, aux2 = ev.lookup_or_create(st2, cfg, _ids([7, 9, 7, 11]), 5)
+        e2 = np.asarray(ev.lookup_dense(st2, cfg, aux2, (4,)))
+        np.testing.assert_allclose(e1, e2, rtol=1e-6)
+
+    def test_constant_initializer(self):
+        cfg = _cfg(initializer=dr.Initializer(kind="constant", constant=2.5))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 0)
+        e = np.asarray(ev.lookup_dense(st, cfg, aux, (3,)))
+        np.testing.assert_allclose(e, 2.5)
+
+    def test_freq_and_version_metadata(self):
+        cfg = _cfg()
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([5, 5, 5, 9]), 3)
+        uk = K.to_numpy(aux.uniq.ukeys)
+        slots = np.asarray(aux.slots)
+        freqs = np.asarray(st.freqs)
+        versions = np.asarray(st.versions)
+        i5 = int(np.where(uk == 5)[0][0])
+        i9 = int(np.where(uk == 9)[0][0])
+        assert freqs[slots[i5]] == 3
+        assert freqs[slots[i9]] == 1
+        assert versions[slots[i5]] == 3
+        # second batch accumulates
+        st, aux = ev.lookup_or_create(st, cfg, _ids([5]), 7)
+        assert np.asarray(st.freqs)[slots[i5]] == 4
+        assert np.asarray(st.versions)[slots[i5]] == 7
+
+    def test_null_row_stays_zero(self):
+        cfg = _cfg()
+        st = ev.create(cfg)
+        pad = K.empty_like((4,))
+        st, aux = ev.lookup_or_create(st, cfg, pad, 0)
+        e = np.asarray(ev.lookup_dense(st, cfg, aux, (4,)))
+        np.testing.assert_array_equal(e, 0.0)
+        assert int(st.index.size) == 0
+
+    def test_pooled_lookup_combiners(self):
+        cfg = _cfg(initializer=dr.Initializer(kind="constant", constant=1.0))
+        st = ev.create(cfg)
+        # 2 samples: sample0 has ids [1,2,3], sample1 has [4] + padding
+        flat = _ids([1, 2, 3, 4, -1, -1])
+        sample_ids = jnp.asarray([0, 0, 0, 1, 1, 1])
+        st, aux = ev.lookup_or_create(st, cfg, flat, 0)
+        mean = np.asarray(ev.pooled_lookup(st.values, aux, cfg, sample_ids, 2, combiner="mean"))
+        # NOTE mean divides by count incl. padded rows? padding contributes
+        # zero rows but also denominators — verify sum first
+        s = np.asarray(ev.pooled_lookup(st.values, aux, cfg, sample_ids, 2, combiner="sum"))
+        np.testing.assert_allclose(s[0], 3.0)
+        np.testing.assert_allclose(s[1], 1.0)
+
+
+class TestFilters:
+    def test_counter_filter_blocks_until_threshold(self):
+        cfg = _cfg(counter_filter=dr.CounterFilter(filter_freq=3))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 0)
+        assert not bool(np.asarray(aux.admitted)[0])
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 1)
+        assert not bool(np.asarray(aux.admitted)[0])
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 2)
+        assert bool(np.asarray(aux.admitted)[0])  # freq now 3
+
+    def test_counter_filter_multiplicity_counts(self):
+        cfg = _cfg(counter_filter=dr.CounterFilter(filter_freq=3))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42, 42, 42]), 0)
+        assert bool(np.asarray(aux.admitted)[0])
+
+    def test_cbf_filter_saves_slots(self):
+        cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=3, max_element_size=1000))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 0)
+        assert int(st.index.size) == 0  # nothing admitted -> no slots burned
+        assert not np.asarray(aux.admitted).any()
+        st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 1)
+        assert int(st.index.size) == 0
+        st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 2)
+        assert int(st.index.size) == 3  # third sighting crosses freq=3
+        assert np.asarray(aux.admitted).all()
+
+    def test_cbf_multiplicity_admits_immediately(self):
+        cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=1000))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([9, 9]), 0)
+        assert int(st.index.size) == 1
+
+
+class TestEviction:
+    def test_global_step_ttl(self):
+        cfg = _cfg(evict=dr.GlobalStepEvict(steps_to_live=10))
+        st = ev.create(cfg)
+        st, _ = ev.lookup_or_create(st, cfg, _ids([1, 2]), 0)
+        st, _ = ev.lookup_or_create(st, cfg, _ids([2, 3]), 8)
+        st2, perm = ev.shrink(st, cfg, 12)
+        # versions: 1->0 (evict: 12-0>=10), 2->8 keep, 3->8 keep
+        assert int(st2.index.size) == 2
+        from deeprec_tpu.sparse import hashtable as ht
+        _, found = ht.lookup(st2.index, _ids([2, 3]))
+        assert np.asarray(found).all()
+        _, found1 = ht.lookup(st2.index, _ids([1]))
+        assert not np.asarray(found1).any()
+
+    def test_l2_evict(self):
+        cfg = _cfg(evict=dr.L2WeightEvict(l2_weight_threshold=0.5),
+                   initializer=dr.Initializer(kind="constant", constant=0.0))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2]), 0)
+        # give id 1 a large row
+        slots = np.asarray(aux.slots)
+        uk = K.to_numpy(aux.uniq.ukeys)
+        s1 = int(slots[np.where(uk == 1)[0][0]])
+        st = st._replace(values=st.values.at[s1].set(1.0))
+        st2, perm = ev.shrink(st, cfg, 1)
+        assert int(st2.index.size) == 1
+
+    def test_shrink_permutes_values(self):
+        cfg = _cfg(evict=dr.GlobalStepEvict(steps_to_live=100),
+                   initializer=dr.Initializer(kind="normal", scale=1.0))
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids(np.arange(50)), 0)
+        before = np.asarray(ev.lookup_dense(st, cfg, aux, (50,)))
+        st2, perm = ev.shrink(st, cfg, 1)
+        assert int(st2.index.size) == 50
+        st2, aux2 = ev.lookup_or_create(st2, cfg, _ids(np.arange(50)), 1)
+        after = np.asarray(ev.lookup_dense(st2, cfg, aux2, (50,)))
+        np.testing.assert_allclose(before, after, rtol=1e-6)
+
+    def test_grow_preserves_rows(self):
+        cfg = _cfg(capacity=256)
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids(np.arange(100)), 0)
+        before = np.asarray(ev.lookup_dense(st, cfg, aux, (100,)))
+        st2, perm = ev.grow(st, cfg, 1024)
+        assert st2.capacity == 1024
+        cfg2 = _cfg(capacity=1024)
+        st2, aux2 = ev.lookup_or_create(st2, cfg2, _ids(np.arange(100)), 1)
+        after = np.asarray(ev.lookup_dense(st2, cfg2, aux2, (100,)))
+        np.testing.assert_allclose(before, after, rtol=1e-6)
+        assert int(st2.index.size) == 100
+
+
+class TestSnapshot:
+    def test_export_import_roundtrip(self):
+        cfg = _cfg()
+        st = ev.create(cfg)
+        ids = np.array([3, 1 << 40, 7, 2**55 + 9], np.int64)
+        st, aux = ev.lookup_or_create(st, cfg, _ids(ids), 5)
+        rows = np.asarray(ev.lookup_dense(st, cfg, aux, (4,)))
+        snap = ev.export(st)
+        live = np.asarray(snap.live)
+        lk = K.Keys(jnp.asarray(np.asarray(snap.keys_hi)[live]),
+                    jnp.asarray(np.asarray(snap.keys_lo)[live]))
+        st2 = ev.import_snapshot(
+            cfg, lk,
+            jnp.asarray(np.asarray(snap.values)[live]),
+            jnp.asarray(np.asarray(snap.versions)[live]),
+            jnp.asarray(np.asarray(snap.freqs)[live]),
+        )
+        st2, aux2 = ev.lookup_or_create(st2, cfg, _ids(ids), 6)
+        rows2 = np.asarray(ev.lookup_dense(st2, cfg, aux2, (4,)))
+        np.testing.assert_allclose(rows, rows2, rtol=1e-6)
+        # metadata carried over (freq was 1, +1 from the new lookup)
+        assert int(st2.index.size) == 4
+
+
+class TestTraining:
+    """End-to-end: each sparse optimizer drives a toy regression loss down
+    (reference testEmbeddingVariableForAdagrad/Adam/Ftrl/... pattern)."""
+
+    @pytest.mark.parametrize("opt_name,kwargs", [
+        ("sgd", dict(learning_rate=0.5)),
+        ("adagrad", dict(learning_rate=0.5)),
+        ("adagrad_decay", dict(learning_rate=0.5, accumulator_decay_step=5)),
+        ("adam", dict(learning_rate=0.1)),
+        ("adam_async", dict(learning_rate=0.1)),
+        ("ftrl", dict(learning_rate=0.5)),
+        ("momentum", dict(learning_rate=0.1)),
+    ])
+    def test_converges(self, opt_name, kwargs):
+        cfg = _cfg(embedding_dim=4)
+        opt = sopt.make(opt_name, **kwargs)
+        st = ev.create(cfg)
+        slot_state = opt.init(st.values)
+        ids = _ids([10, 20, 30, 10])  # note duplicate id
+        target = jnp.asarray(np.tile(np.array([[1., -1., .5, 0.]]), (4, 1)), jnp.float32)
+
+        def loss_fn(urows, aux):
+            e = urows[aux.uniq.inverse]
+            return jnp.mean((e - target) ** 2)
+
+        losses = []
+        for step in range(60):
+            st, aux = ev.lookup_or_create(st, cfg, ids, step)
+            urows = ev.gather(st.values, aux, cfg)
+            loss, g = jax.value_and_grad(loss_fn)(urows, aux)
+            mask = aux.admitted
+            new_values, slot_state = opt.apply(st.values, slot_state, aux.slots, g, mask, step)
+            st = st._replace(values=new_values)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.1, f"{opt_name}: {losses[0]} -> {losses[-1]}"
+
+    def test_filtered_rows_not_updated(self):
+        cfg = _cfg(embedding_dim=4, counter_filter=dr.CounterFilter(filter_freq=100),
+                   initializer=dr.Initializer(kind="constant", constant=1.0))
+        opt = sopt.sparse_sgd(learning_rate=1.0)
+        st = ev.create(cfg)
+        slot_state = opt.init(st.values)
+        ids = _ids([5])
+        for step in range(3):
+            st, aux = ev.lookup_or_create(st, cfg, ids, step)
+            urows = ev.gather(st.values, aux, cfg)
+            g = jnp.ones_like(urows)
+            new_values, slot_state = opt.apply(st.values, slot_state, aux.slots, g, aux.admitted, step)
+            st = st._replace(values=new_values)
+        st, aux = ev.lookup_or_create(st, cfg, ids, 10)
+        e = np.asarray(ev.lookup_dense(st, cfg, aux, (1,)))
+        np.testing.assert_allclose(e, 1.0)  # frozen at init: filter blocked updates
+
+    def test_dedup_gradient_sums(self):
+        """Autodiff through gather+inverse sums duplicate-id grads (the
+        IndexedSlices dedup semantics)."""
+        cfg = _cfg(embedding_dim=2, initializer=dr.Initializer(kind="zeros"))
+        st = ev.create(cfg)
+        ids = _ids([7, 7, 7, 8])
+        st, aux = ev.lookup_or_create(st, cfg, ids, 0)
+        urows = ev.gather(st.values, aux, cfg)
+
+        def loss_fn(urows):
+            e = urows[aux.uniq.inverse]
+            return jnp.sum(e)
+
+        g = jax.grad(loss_fn)(urows)
+        uk = K.to_numpy(aux.uniq.ukeys)
+        g = np.asarray(g)
+        i7 = int(np.where(uk == 7)[0][0])
+        i8 = int(np.where(uk == 8)[0][0])
+        np.testing.assert_allclose(g[i7], 3.0)
+        np.testing.assert_allclose(g[i8], 1.0)
