@@ -1,0 +1,122 @@
+"""Sequence (user-behaviour) models: DIN and DIEN.
+
+Rebuilds of modelzoo/DIN/script/model.py (attention pooling + Dice) and
+modelzoo/DIEN (GRU interest extraction + AUGRU interest evolution,
+modelzoo/DIEN/script/rnn.py) — the "sequence" axis here is a user-behaviour
+history of a few hundred items, a model feature, not a parallelism axis
+(SURVEY.md §5). Inputs:
+
+  * ``dense``: [B, Dd]
+  * ``emb``: pooled context embeddings (candidate item, user profile)
+  * ``seq``: dict name -> ([B, L, d], mask [B, L]) behaviour sequences
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import AUGRU, Dice, DINAttention, GRU, MLPTower
+from .ctr import concat_emb
+
+
+class DIN(nn.Module):
+    """Deep Interest Network: DIN attention pools the behaviour sequence
+    against the candidate item; MLP with Dice activations scores the CTR."""
+
+    candidate_name: str      # key in emb: the candidate item embedding
+    seq_name: str            # key in seq: behaviour history
+    context_names: Sequence[str] = ()
+    hidden_units: Sequence[int] = (200, 80)
+    att_units: Sequence[int] = (80, 40)
+
+    @nn.compact
+    def __call__(self, dense, emb, seq, train=True):
+        cand = emb[self.candidate_name]
+        hist, mask = seq[self.seq_name]
+        pooled = DINAttention(self.att_units)(cand, hist, mask)
+        sum_pool = jnp.sum(hist * mask[..., None], axis=1)
+        parts = [cand, pooled, sum_pool, cand * pooled]
+        if self.context_names:
+            parts.append(concat_emb(emb, self.context_names))
+        if dense is not None and dense.shape[-1]:
+            parts.append(dense)
+        x = jnp.concatenate(parts, axis=-1)
+        for i, u in enumerate(self.hidden_units):
+            x = nn.Dense(u, name=f"fc_{i}")(x)
+            x = Dice(name=f"dice_{i}")(x, train=train)
+        return nn.Dense(1, name="out")(x)[:, 0]
+
+
+class DIEN(nn.Module):
+    """Deep Interest Evolution Network: GRU extracts interest states from
+    the behaviour sequence; attention vs. the candidate produces weights;
+    AUGRU evolves the final interest. Auxiliary loss (next-behaviour
+    prediction on GRU states) is returned separately when requested."""
+
+    candidate_name: str
+    seq_name: str
+    context_names: Sequence[str] = ()
+    gru_units: int = 36
+    hidden_units: Sequence[int] = (200, 80)
+    att_units: Sequence[int] = (80, 40)
+    use_aux_loss: bool = True
+
+    @nn.compact
+    def __call__(self, dense, emb, seq, train=True, return_aux=False):
+        cand = emb[self.candidate_name]
+        hist, mask = seq[self.seq_name]
+        B, L, d = hist.shape
+        states = GRU(self.gru_units, name="interest_extractor")(hist, mask)
+
+        # attention of candidate over GRU states
+        cand_p = nn.Dense(self.gru_units, name="cand_proj")(cand)
+        att = DINAttentionScores(self.att_units, name="att")(cand_p, states, mask)
+        final = AUGRU(self.gru_units, name="interest_evolution")(states, att, mask)
+
+        parts = [cand, final, jnp.sum(hist * mask[..., None], axis=1)]
+        if self.context_names:
+            parts.append(concat_emb(emb, self.context_names))
+        if dense is not None and dense.shape[-1]:
+            parts.append(dense)
+        x = jnp.concatenate(parts, axis=-1)
+        for i, u in enumerate(self.hidden_units):
+            x = nn.Dense(u, name=f"fc_{i}")(x)
+            x = Dice(name=f"dice_{i}")(x, train=train)
+        logits = nn.Dense(1, name="out")(x)[:, 0]
+
+        if return_aux and self.use_aux_loss:
+            # auxiliary loss: GRU state at t should predict behaviour t+1
+            # (binary: true next item vs. a shuffled negative)
+            pos = jnp.sum(states[:, :-1, :] * nn.Dense(
+                self.gru_units, name="aux_proj")(hist[:, 1:, :]), axis=-1)
+            neg_items = jnp.roll(hist[:, 1:, :], 1, axis=0)
+            neg = jnp.sum(states[:, :-1, :] * nn.Dense(
+                self.gru_units, name="aux_proj_n")(neg_items), axis=-1)
+            m = mask[:, 1:].astype(jnp.float32)
+            aux = -(jnp.log(jax.nn.sigmoid(pos) + 1e-8) +
+                    jnp.log(1 - jax.nn.sigmoid(neg) + 1e-8)) * m
+            aux_loss = jnp.sum(aux) / jnp.maximum(jnp.sum(m), 1.0)
+            return logits, aux_loss
+        return logits
+
+
+class DINAttentionScores(nn.Module):
+    """DIN attention that returns normalized weights [B, L] (for AUGRU)."""
+
+    hidden_units: Sequence[int] = (80, 40)
+
+    @nn.compact
+    def __call__(self, query, keys, mask):
+        B, L, d = keys.shape
+        q = jnp.broadcast_to(query[:, None, :], (B, L, d))
+        x = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
+        for i, u in enumerate(self.hidden_units):
+            x = nn.Dense(u, name=f"att_{i}")(x)
+            x = nn.sigmoid(x)
+        logits = nn.Dense(1, name="att_out")(x)[..., 0]
+        logits = jnp.where(mask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.where(mask, w, 0.0)

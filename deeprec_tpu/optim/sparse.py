@@ -152,8 +152,9 @@ def sparse_adam(
     global_step into the kernel)."""
 
     def init(values):
-        z = jnp.zeros(values.shape, jnp.float32)
-        return {"m": z, "v": z}
+        # distinct buffers (donation-safety)
+        return {"m": jnp.zeros(values.shape, jnp.float32),
+                "v": jnp.zeros(values.shape, jnp.float32)}
 
     def apply(values, slot_state, slots, grads, mask, step):
         lr = _lr_at(learning_rate, step)
@@ -191,10 +192,9 @@ def sparse_adam_async(
     uses an RMSProp-style update (the reference's fast path)."""
 
     def init(values):
-        z = jnp.zeros(values.shape, jnp.float32)
         return {
-            "m": z,
-            "v": z,
+            "m": jnp.zeros(values.shape, jnp.float32),
+            "v": jnp.zeros(values.shape, jnp.float32),
             "beta1_power": jnp.asarray(beta1, jnp.float32),
             "beta2_power": jnp.asarray(beta2, jnp.float32),
         }

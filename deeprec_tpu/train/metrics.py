@@ -1,0 +1,71 @@
+"""Streaming training/eval metrics.
+
+The reference trainers report ``tf.metrics.auc`` / ``accuracy``
+(modelzoo/WDL/train.py:216-218). Here AUC is a device-resident streaming
+histogram (pos/neg counts over fixed probability bins) finalised by
+trapezoidal integration — equivalent to tf.metrics.auc's thresholded
+estimator with num_thresholds = nbins+1, and update is a pure function that
+composes with jit/donation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MetricState(NamedTuple):
+    pos_hist: jax.Array  # [nbins] float32
+    neg_hist: jax.Array
+    loss_sum: jax.Array  # f32 scalar
+    correct: jax.Array   # f32 scalar
+    count: jax.Array     # f32 scalar
+
+
+def create(nbins: int = 4096) -> MetricState:
+    # distinct buffers per field: shared buffers break donation (the same
+    # buffer must not be donated twice in one call)
+    return MetricState(
+        pos_hist=jnp.zeros((nbins,), jnp.float32),
+        neg_hist=jnp.zeros((nbins,), jnp.float32),
+        loss_sum=jnp.zeros((), jnp.float32),
+        correct=jnp.zeros((), jnp.float32),
+        count=jnp.zeros((), jnp.float32),
+    )
+
+
+def update(state: MetricState, logits: jax.Array, labels: jax.Array,
+           loss: jax.Array | None = None) -> MetricState:
+    nbins = state.pos_hist.shape[0]
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    labels = labels.astype(jnp.float32)
+    idx = jnp.clip((p * nbins).astype(jnp.int32), 0, nbins - 1)
+    pos = state.pos_hist.at[idx].add(labels)
+    neg = state.neg_hist.at[idx].add(1.0 - labels)
+    correct = state.correct + jnp.sum((p >= 0.5) == (labels >= 0.5))
+    n = jnp.asarray(logits.shape[0], jnp.float32)
+    loss_sum = state.loss_sum + (loss * n if loss is not None else 0.0)
+    return MetricState(pos, neg, loss_sum, correct, state.count + n)
+
+
+def auc(state: MetricState) -> jax.Array:
+    """Trapezoidal AUC over the ROC curve induced by the bin thresholds."""
+    # cumulative from the high-probability end: TP/FP at each threshold
+    tp = jnp.cumsum(state.pos_hist[::-1])
+    fp = jnp.cumsum(state.neg_hist[::-1])
+    P = jnp.maximum(tp[-1], 1e-12)
+    N = jnp.maximum(fp[-1], 1e-12)
+    tpr = jnp.concatenate([jnp.zeros((1,)), tp / P])
+    fpr = jnp.concatenate([jnp.zeros((1,)), fp / N])
+    return jnp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
+
+
+def summarize(state: MetricState) -> dict:
+    c = max(float(state.count), 1e-12)
+    return {
+        "auc": float(auc(state)),
+        "accuracy": float(state.correct) / c,
+        "loss": float(state.loss_sum) / c,
+        "examples": int(state.count),
+    }

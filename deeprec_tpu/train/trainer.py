@@ -1,0 +1,301 @@
+"""Training core: jitted end-to-end step over dynamic tables + dense model.
+
+Replaces the reference's session train loop (modelzoo/WDL/train.py:508-560
+``sess.run([train_op])``) and its graph-level features:
+
+  * **AutoMicroBatch** (PipelineGraph, graph_execution_state.cc:627): here a
+    ``lax.scan`` over microbatch slices accumulating dense gradients —
+    sparse updates apply per microbatch (per-key touch order matches the
+    reference's accumulated IndexedSlices up to adaptive-optimizer
+    curvature).
+  * **SmartStage / tf.staged**: subsumed by the host-side prefetch iterator
+    (data/prefetch.py) + XLA async dispatch — steps are enqueued while the
+    host prepares the next batch.
+
+The step is one jitted function: sparse lookup-or-create (non-diff) ->
+differentiable loss over gathered unique rows + dense params -> optax
+update + per-table sparse apply. Donation keeps table state in-place in
+HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..feature_column import (CollectionAux, EmbeddingCollection,
+                              NumericColumn, normalize_dense, pack_dense)
+from ..optim.sparse import SparseOptimizer, permute_slot_state
+from ..sparse import embedding_var as ev
+from ..sparse import keys as K
+from . import metrics as metrics_lib
+
+
+class TableBundle(NamedTuple):
+    ev: ev.EVState
+    slot: Any
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    tables: Dict[str, TableBundle]
+    metrics: metrics_lib.MetricState
+    step: jax.Array
+
+
+def bce_loss(logits, labels):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels.astype(jnp.float32)))
+
+
+class Trainer:
+    """Bundles model, feature columns, and optimizers into jitted
+    train/eval steps.
+
+    ``forward(model, params, dense, outputs, train)`` consumes
+    ``outputs[collection_name] = (emb_dict, seq_dict)`` and returns logits
+    or ``(logits, aux_loss)``.
+    """
+
+    def __init__(
+        self,
+        model,
+        numeric_columns: Sequence[NumericColumn],
+        collections: Dict[str, EmbeddingCollection],
+        sparse_optimizers: Dict[str, SparseOptimizer],
+        dense_optimizer: optax.GradientTransformation,
+        forward: Optional[Callable] = None,
+        aux_loss_weight: float = 1.0,
+        microbatches: int = 1,
+    ):
+        self.model = model
+        self.numeric_columns = list(numeric_columns)
+        self.collections = collections
+        self.sparse_optimizers = sparse_optimizers
+        self.dense_optimizer = dense_optimizer
+        self.forward = forward or default_forward
+        self.aux_loss_weight = aux_loss_weight
+        self.microbatches = microbatches
+        self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(self._eval_step, donate_argnums=(1,))
+
+    # -- init ------------------------------------------------------------
+    def init(self, rng, sample_batch) -> TrainState:
+        dense, cats, labels = self.prepare_batch(sample_batch)
+        tables = {}
+        outputs = {}
+        for name, coll in self.collections.items():
+            st = coll.init()
+            st, aux = coll.lookup_or_create(st, cats[name], jnp.zeros((), jnp.int32))
+            urows = coll.gather_unique(st.values, aux)
+            outputs[name] = (coll.embeddings(urows, aux),
+                            coll.sequence_embeddings(urows, aux))
+            slot = self.sparse_optimizers[name].init(st.values)
+            tables[name] = TableBundle(ev=coll.init(), slot=slot)
+        params = self.forward(functools.partial(self.model.init, rng),
+                              dense, outputs, True)
+        opt_state = self.dense_optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state, tables=tables,
+                          metrics=metrics_lib.create(), step=jnp.zeros((), jnp.int32))
+
+    # -- batch plumbing ----------------------------------------------------
+    def prepare_batch(self, batch: Dict[str, np.ndarray]):
+        """Host-side fast path: pure numpy packing, one transfer for dense,
+        two int32 transfers per collection, one for labels. Everything else
+        (normalisation, salting arithmetic) runs inside the jitted step —
+        eager per-column ops cost ~50x more in dispatch overhead."""
+        dense = (jnp.asarray(pack_dense(self.numeric_columns, batch))
+                 if self.numeric_columns else None)
+        cats = {name: coll.pack_ids(batch)
+                for name, coll in self.collections.items()}
+        labels = jnp.asarray(batch["label"], jnp.float32) if "label" in batch else None
+        return dense, cats, labels
+
+    # -- the inner (micro)step --------------------------------------------
+    def _sparse_forward(self, tables, cats, step):
+        new_tables = {}
+        auxs = {}
+        for name, coll in self.collections.items():
+            ev_state, aux = coll.lookup_or_create(tables[name].ev, cats[name], step)
+            new_tables[name] = tables[name]._replace(ev=ev_state)
+            auxs[name] = aux
+        return new_tables, auxs
+
+    def _loss_and_grads(self, params, tables, auxs, dense, labels, train=True):
+        urows = {name: coll.gather_unique(tables[name].ev.values, auxs[name])
+                 for name, coll in self.collections.items()}
+
+        def loss_fn(params, urows):
+            outputs = {}
+            for name, coll in self.collections.items():
+                outputs[name] = (coll.embeddings(urows[name], auxs[name]),
+                                 coll.sequence_embeddings(urows[name], auxs[name]))
+            out = self.forward(functools.partial(self.model.apply, params),
+                               dense, outputs, train)
+            if isinstance(out, tuple):
+                logits, aux_loss = out
+            else:
+                logits, aux_loss = out, 0.0
+            loss = bce_loss(logits, labels) + self.aux_loss_weight * aux_loss
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            params, urows)
+        return loss, logits, grads
+
+    def _apply_sparse(self, tables, auxs, urow_grads, step):
+        out = {}
+        for name, coll in self.collections.items():
+            bundle = tables[name]
+            ev_state, slot = coll.apply_gradients(
+                bundle.ev, self.sparse_optimizers[name], bundle.slot,
+                auxs[name], urow_grads[name], step)
+            out[name] = TableBundle(ev=ev_state, slot=slot)
+        return out
+
+    # -- full steps ---------------------------------------------------------
+    def _train_step(self, state: TrainState, dense, cats, labels):
+        step = state.step
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+
+        if self.microbatches == 1:
+            tables, auxs = self._sparse_forward(state.tables, cats, step)
+            loss, logits, (gp, gu) = self._loss_and_grads(
+                state.params, tables, auxs, dense, labels)
+            tables = self._apply_sparse(tables, auxs, gu, step)
+        else:
+            k = self.microbatches
+            mb_dense = _mb_split(dense, k)
+            mb_labels = _mb_split(labels, k)
+            mb_cats = jax.tree_util.tree_map(lambda x: _mb_split(x, k), cats)
+
+            def body(carry, mb):
+                tables, gp_acc, loss_acc = carry
+                d, c, l = mb
+                tables, auxs = self._sparse_forward(tables, c, step)
+                loss, logits, (gp, gu) = self._loss_and_grads(
+                    state.params, tables, auxs, d, l)
+                tables = self._apply_sparse(tables, auxs, gu, step)
+                gp_acc = jax.tree_util.tree_map(jnp.add, gp_acc, gp)
+                return (tables, gp_acc, loss_acc + loss), logits
+
+            gp0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (tables, gp, loss_sum), logits_mb = jax.lax.scan(
+                body, (state.tables, gp0, jnp.zeros(())),
+                (mb_dense, mb_cats, mb_labels))
+            gp = jax.tree_util.tree_map(lambda g: g / k, gp)
+            loss = loss_sum / k
+            logits = logits_mb.reshape(-1)
+            labels = labels  # original layout matches reshape of mb split
+
+        updates, opt_state = self.dense_optimizer.update(gp, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        m = metrics_lib.update(state.metrics, logits, labels.reshape(logits.shape), loss)
+        return TrainState(params=params, opt_state=opt_state, tables=tables,
+                          metrics=m, step=step + 1)
+
+    def _eval_step(self, state: TrainState, mstate, dense, cats, labels):
+        """Read-only: missing keys fall back to their deterministic init."""
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+        auxs = {}
+        urows = {}
+        for name, coll in self.collections.items():
+            aux, rows = _readonly_lookup(coll, state.tables[name].ev, cats[name])
+            auxs[name] = aux
+            urows[name] = rows
+        outputs = {}
+        for name, coll in self.collections.items():
+            outputs[name] = (coll.embeddings(urows[name], auxs[name]),
+                             coll.sequence_embeddings(urows[name], auxs[name]))
+        out = self.forward(functools.partial(self.model.apply, state.params),
+                           dense, outputs, False)
+        logits = out[0] if isinstance(out, tuple) else out
+        loss = bce_loss(logits, labels)
+        return metrics_lib.update(mstate, logits, labels, loss)
+
+    # -- public API --------------------------------------------------------
+    def train_step(self, state: TrainState, batch) -> TrainState:
+        dense, cats, labels = self.prepare_batch(batch)
+        return self._jit_train(state, dense, cats, labels)
+
+    def eval_step(self, state: TrainState, mstate, batch):
+        dense, cats, labels = self.prepare_batch(batch)
+        return self._jit_eval(state, mstate, dense, cats, labels)
+
+    def maybe_grow(self, state: TrainState, threshold: float = 0.7) -> TrainState:
+        """Host-side growth check between steps (the DenseHashMap resize
+        analog): any table past ``threshold`` load factor is rebuilt at 2×
+        capacity, optimizer slot rows permuted along."""
+        tables = dict(state.tables)
+        changed = False
+        for name, coll in self.collections.items():
+            b = tables[name]
+            lf = float(ev.load_factor(b.ev))
+            if lf >= threshold or int(b.ev.index.overflow) > 0:
+                new_cap = b.ev.capacity * 2
+                new_ev, perm = ev.grow(b.ev, coll.config, new_cap)
+                slot = permute_slot_state(b.slot, perm, new_cap)
+                coll.config = _with_capacity(coll.config, new_cap)
+                tables[name] = TableBundle(ev=new_ev, slot=slot)
+                changed = True
+        if not changed:
+            return state
+        # capacity is a static shape: re-jit on next call
+        self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(self._eval_step, donate_argnums=(1,))
+        return state._replace(tables=tables)
+
+    def reset_metrics(self, state: TrainState) -> TrainState:
+        return state._replace(metrics=metrics_lib.create())
+
+
+def _with_capacity(cfg, new_cap):
+    import dataclasses
+    return dataclasses.replace(cfg, capacity=new_cap)
+
+
+def _mb_split(x, k):
+    if x is None:
+        return None
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(k, a.shape[0] // k, *a.shape[1:]), x)
+
+
+def _readonly_lookup(coll: EmbeddingCollection, state: ev.EVState, cats):
+    """Lookup without mutation: unknown keys read their would-be init row."""
+    from ..ops.unique import unique
+    from ..sparse import hashtable as ht
+    if isinstance(cats, K.Keys):
+        flat = cats
+    else:
+        flat, _ = coll._flatten_ids(cats)
+    uniq = unique(flat)
+    slots, found = ht.lookup(state.index, uniq.ukeys, coll.config.max_probes)
+    aux = CollectionAux(ev_aux=ev.LookupAux(
+        uniq=uniq, slots=slots,
+        admitted=found, created=jnp.zeros_like(found)))
+    rows = state.values[slots]
+    defaults = ev.init_rows(coll.config, uniq.ukeys).astype(rows.dtype)
+    valid = ~K.is_empty(uniq.ukeys)
+    rows = jnp.where((found | ~valid)[:, None], rows, defaults)
+    return aux, rows
+
+
+def default_forward(apply_fn, dense, outputs, train):
+    """Convention: collection "emb" -> pooled dict + sequence dict; optional
+    collection "wide" -> wide dict. Models accept (dense, emb, wide=..,
+    seq=.., train=..) subsets. ``apply_fn`` is ``model.apply(params, ...)``
+    during training and ``model.init(rng, ...)`` at initialisation."""
+    emb, seq = outputs.get("emb", ({}, {}))
+    kwargs = {}
+    if "wide" in outputs:
+        kwargs["wide"] = outputs["wide"][0]
+    if seq:
+        kwargs["seq"] = seq
+    return apply_fn(dense, emb, train=train, **kwargs)

@@ -15,6 +15,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# A site customization forces jax_platforms="axon,cpu" (the tunneled TPU),
+# overriding the env var — override it back so tests run on the 8-device
+# virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache: the suite is dominated by XLA CPU compiles of the
 # probing/scatter loops; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))

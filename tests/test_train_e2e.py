@@ -1,0 +1,153 @@
+"""End-to-end training tests: Trainer + feature columns + models on
+synthetic Criteo (the modelzoo CI analog, cibuild/model-test.sh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import deeprec_tpu as dr
+from deeprec_tpu import feature_column as fc
+from deeprec_tpu.data.criteo import CAT_NAMES, DENSE_NAMES, SyntheticCriteo
+from deeprec_tpu.models import ctr
+from deeprec_tpu.optim import sparse as sopt
+from deeprec_tpu.train import metrics as metrics_lib
+from deeprec_tpu.train.trainer import Trainer
+
+
+N_CAT = 6  # small slice of the 26 for CPU test speed
+EMB_DIM = 8
+
+
+def _columns():
+    numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES[:4]]
+    emb_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), EMB_DIM)
+                for n in CAT_NAMES[:N_CAT]]
+    return numeric, emb_cols
+
+
+def _batches(n, bs=256, seed=1):
+    gen = SyntheticCriteo(batch_size=bs, vocab_sizes=[100] * 26, seed=seed, noise=0.3,
+                          active_features=range(N_CAT))
+    return list(gen.take(n))
+
+
+def test_dlrm_trains_and_lifts_auc():
+    numeric, emb_cols = _columns()
+    coll = fc.EmbeddingCollection(emb_cols, name="emb", capacity=1 << 12,
+                                  initializer=dr.Initializer(kind="normal", scale=0.05))
+    model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=EMB_DIM,
+                     bottom_units=(32,), top_units=(64, 32))
+    tr = Trainer(
+        model, numeric, {"emb": coll},
+        {"emb": sopt.sparse_adagrad(0.5, initial_accumulator_value=0.01)},
+        optax.adam(3e-3),
+    )
+    batches = _batches(160)
+    state = tr.init(jax.random.key(0), batches[0])
+    for i, b in enumerate(batches):
+        state = tr.train_step(state, b)
+        if i == 99:
+            first = metrics_lib.summarize(state.metrics)
+            state = tr.reset_metrics(state)
+    summary = metrics_lib.summarize(state.metrics)
+    assert summary["examples"] == 60 * 256
+    assert summary["auc"] > 0.56, (first, summary)
+    assert summary["auc"] > first["auc"] + 0.01, (first, summary)
+    # table actually filled
+    assert int(state.tables["emb"].ev.index.size) > 100
+
+    # eval on fresh batches with read-only lookup
+    mstate = metrics_lib.create()
+    for b in _batches(8, seed=99):
+        mstate = tr.eval_step(state, mstate, b)
+    es = metrics_lib.summarize(mstate)
+    assert es["auc"] > 0.54, es
+
+
+def test_wdl_with_wide_collection():
+    numeric, emb_cols = _columns()
+    deep = fc.EmbeddingCollection(emb_cols, name="deep", capacity=1 << 12)
+    wide_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 1, combiner="sum")
+                 for n in CAT_NAMES[:N_CAT]]
+    wide = fc.EmbeddingCollection(wide_cols, name="wide", capacity=1 << 12,
+                                  initializer=dr.Initializer(kind="zeros"))
+    model = ctr.WDL(emb_names=[c.name for c in emb_cols],
+                    wide_names=[c.name for c in wide_cols],
+                    deep_units=(64, 32))
+    tr = Trainer(
+        model, numeric, {"emb": deep, "wide": wide},
+        {"emb": sopt.sparse_adagrad(0.5, initial_accumulator_value=0.01),
+         "wide": sopt.sparse_ftrl(0.1)},
+        optax.adam(3e-3),
+    )
+    batches = _batches(80)
+    state = tr.init(jax.random.key(0), batches[0])
+    for i, b in enumerate(batches):
+        state = tr.train_step(state, b)
+        if i == 39:
+            state = tr.reset_metrics(state)
+    s = metrics_lib.summarize(state.metrics)
+    assert s["auc"] > 0.55, s
+
+
+def test_microbatch_accumulation_matches_shapes():
+    numeric, emb_cols = _columns()
+    coll = fc.EmbeddingCollection(emb_cols, name="emb", capacity=1 << 12)
+    model = ctr.DCN(emb_names=[c.name for c in emb_cols], deep_units=(32,),
+                    cross_layers=2)
+    tr = Trainer(model, numeric, {"emb": coll},
+                 {"emb": sopt.sparse_adagrad(0.1)}, optax.adam(1e-3),
+                 microbatches=4)
+    batches = _batches(10)
+    state = tr.init(jax.random.key(0), batches[0])
+    for b in batches:
+        state = tr.train_step(state, b)
+    s = metrics_lib.summarize(state.metrics)
+    assert s["examples"] == 10 * 256
+    assert int(state.step) == 10
+
+
+def test_grow_mid_training():
+    numeric, emb_cols = _columns()
+    coll = fc.EmbeddingCollection(emb_cols, name="emb", capacity=256)
+    model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=EMB_DIM,
+                     bottom_units=(16,), top_units=(32,))
+    tr = Trainer(model, numeric, {"emb": coll},
+                 {"emb": sopt.sparse_adagrad(0.1)}, optax.adam(1e-3))
+    batches = _batches(12)
+    state = tr.init(jax.random.key(0), batches[0])
+    caps = set()
+    for b in batches:
+        state = tr.train_step(state, b)
+        caps.add(state.tables["emb"].ev.capacity)
+        state = tr.maybe_grow(state, threshold=0.6)
+    assert len(caps) > 1, "table should have grown mid-training"
+    assert int(state.tables["emb"].ev.index.overflow) == 0 or max(caps) >= 1024
+
+
+def test_multivalent_and_hash_bucket_columns():
+    numeric, _ = _columns()
+    cols = [
+        fc.EmbeddingColumn(fc.CategoricalColumn("C1", hash_bucket_size=50), EMB_DIM),
+        fc.EmbeddingColumn(fc.CategoricalColumn("多值" if False else "mv", max_length=5), EMB_DIM, combiner="mean"),
+    ]
+    coll = fc.EmbeddingCollection(cols, name="emb", capacity=1 << 10)
+    model = ctr.DCN(emb_names=["C1", "mv"], deep_units=(16,), cross_layers=1)
+    tr = Trainer(model, numeric, {"emb": coll},
+                 {"emb": sopt.sparse_adagrad(0.1)}, optax.adam(1e-3))
+    gen = SyntheticCriteo(batch_size=64, vocab_sizes=[50] * 26, seed=2)
+    batches = []
+    rng = np.random.default_rng(0)
+    for b in gen.take(6):
+        mv = rng.integers(0, 40, size=(64, 5)).astype(np.int64)
+        mv[rng.random((64, 5)) < 0.4] = -1  # ragged padding
+        b["mv"] = mv
+        batches.append(b)
+    state = tr.init(jax.random.key(0), batches[0])
+    for b in batches:
+        state = tr.train_step(state, b)
+    assert int(state.step) == 6
+    # hash bucket: C1 table rows bounded by bucket count
+    # (salted per column, so <= 50 + multivalent vocab)
+    assert int(state.tables["emb"].ev.index.size) <= 50 + 40
