@@ -1,0 +1,78 @@
+"""Headline benchmark: DLRM-style CTR training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference's best published DLRM number —
+DeepRec + oneDNN FP32+BF16 on Criteo, 121.5268 global steps/s at batch 512
+(modelzoo/DLRM/README.md) = 62,222 examples/s on an 8-vCPU Xeon host.
+``vs_baseline`` = our examples/s/chip divided by that.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_EXAMPLES_PER_SEC = 121.5268 * 512  # reference DLRM best (bf16)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--emb-dim", type=int, default=16)
+    ap.add_argument("--capacity", type=int, default=1 << 21)
+    args = ap.parse_args()
+    if args.smoke:
+        args.batch, args.steps, args.capacity = 512, 10, 1 << 16
+
+    import jax
+    import optax
+
+    import deeprec_tpu as dr
+    from deeprec_tpu import feature_column as fc
+    from deeprec_tpu.data.criteo import CAT_NAMES, DENSE_NAMES, SyntheticCriteo
+    from deeprec_tpu.models import ctr
+    from deeprec_tpu.optim import sparse as sopt
+    from deeprec_tpu.train.trainer import Trainer
+
+    numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES]
+    emb_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), args.emb_dim)
+                for n in CAT_NAMES]
+    coll = fc.EmbeddingCollection(
+        emb_cols, name="emb", capacity=args.capacity,
+        initializer=dr.Initializer(kind="normal", scale=0.05))
+    model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=args.emb_dim,
+                     bottom_units=(512, 256), top_units=(1024, 1024, 512, 256))
+    tr = Trainer(model, numeric, {"emb": coll},
+                 {"emb": sopt.sparse_adagrad(0.05)}, optax.adagrad(0.05))
+
+    gen = SyntheticCriteo(batch_size=args.batch, seed=7)
+    warm = 5
+    batches = list(gen.take(args.steps + warm))
+    # pre-pack on host so the measurement is the training path, not datagen
+    packed = [tr.prepare_batch(b) for b in batches]
+
+    state = tr.init(jax.random.key(0), batches[0])
+    for p in packed[:warm]:
+        state = tr._jit_train(state, *p)
+    jax.block_until_ready(state.metrics.count)
+
+    t0 = time.perf_counter()
+    for p in packed[warm:]:
+        state = tr._jit_train(state, *p)
+    jax.block_until_ready(state.metrics.count)
+    dt = time.perf_counter() - t0
+
+    eps = args.steps * args.batch / dt
+    print(json.dumps({
+        "metric": "dlrm_criteo_examples_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(eps / BASELINE_EXAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

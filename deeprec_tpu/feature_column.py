@@ -164,9 +164,12 @@ class EmbeddingCollection:
                 c2 = np.int64((ci * 0x85EBCA77) & 0x7FFFFFFF)
                 ids = np.where(empty, ids, ids ^ c1 ^ c2)
             blocks.append(ids.T)  # [w, B]
-        flat = np.concatenate(blocks, axis=0).reshape(-1)
+        flat = np.concatenate(blocks, axis=0)  # [total_width, B]
         lo = (flat & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
         hi = (flat >> np.int64(32)).astype(np.int32)
+        # kept 2-D [total_width, B] so a data-parallel step can shard the
+        # batch axis; consumers flatten feature-major (matching the
+        # _flatten_ids layout).
         return K.Keys(jnp.asarray(hi), jnp.asarray(lo))
 
     # -- forward -------------------------------------------------------
@@ -196,7 +199,7 @@ class EmbeddingCollection:
         """``batch``: either a raw per-column dict or a pre-packed flat
         :class:`K.Keys` from :meth:`pack_ids` (the fast host path)."""
         if isinstance(batch, K.Keys):
-            flat = batch
+            flat = batch.reshape(-1) if len(batch.shape) > 1 else batch
         else:
             flat, _ = self._flatten_ids(batch)
         state, aux = ev.lookup_or_create(state, self.config, flat, step)
@@ -215,9 +218,14 @@ class EmbeddingCollection:
         """Pooled per-column embeddings: name -> [B, dim]. Padding ids
         contribute nothing (null row + excluded from mean denominators)."""
         rows = self._per_column_rows(urows, aux)
-        B = rows.shape[0] // self.total_width
         # validity from the key planes: padding == EMPTY -> null slot
         valid = (aux.ev_aux.slots != self.config.capacity)[aux.ev_aux.uniq.inverse]
+        return self.embeddings_from_rows(rows, valid)
+
+    def embeddings_from_rows(self, rows: jax.Array, valid: jax.Array) -> Dict[str, jax.Array]:
+        """Pool flat-layout rows [total_width*B, dim] (+validity) into
+        per-column [B, dim]. Shared by the local and sharded lookup paths."""
+        B = rows.shape[0] // self.total_width
         out = {}
         for ci, col in enumerate(self.columns):
             if isinstance(col, SequenceEmbeddingColumn):
@@ -246,8 +254,11 @@ class EmbeddingCollection:
     def sequence_embeddings(self, urows: jax.Array, aux: CollectionAux):
         """name -> ([B, L, dim], mask [B, L]) for SequenceEmbeddingColumns."""
         rows = self._per_column_rows(urows, aux)
-        B = rows.shape[0] // self.total_width
         valid = (aux.ev_aux.slots != self.config.capacity)[aux.ev_aux.uniq.inverse]
+        return self.sequence_embeddings_from_rows(rows, valid)
+
+    def sequence_embeddings_from_rows(self, rows: jax.Array, valid: jax.Array):
+        B = rows.shape[0] // self.total_width
         out = {}
         for ci, col in enumerate(self.columns):
             if not isinstance(col, SequenceEmbeddingColumn):

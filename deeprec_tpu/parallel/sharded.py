@@ -1,0 +1,228 @@
+"""Row-sharded embedding tables with all-to-all ID exchange over ICI.
+
+This module replaces the entire PS/worker communication layer of the
+reference (SURVEY.md §2.4: gRPC rendezvous + FuseRecv fusion + seastar
+"grpc++" + star_server pull/push + SOK's NCCL all2all,
+contrib/star/**, sparse_operation_kit/**) with mesh collectives:
+
+  * each device owns one **row shard** of every table (owner =
+    hash(key) mod n_shards — the mod-sharding invariant the reference's
+    checkpoint format also relies on, embedding_var.h:196-199);
+  * a lookup is: local dedup -> bucket unique ids by owner ->
+    ``lax.all_to_all`` (ids out) -> owner-side dedup + lookup-or-create ->
+    gather rows -> ``all_to_all`` (rows back) -> unbucket -> pool;
+  * the **gradient exchange comes from autodiff**: the differentiable
+    surface is the owner-side gathered rows, and the rows-back all_to_all /
+    unbucket gathers are linear, so JAX's transpose emits exactly the
+    reverse all_to_all + scatter-add — the hand-written grad path of SOK's
+    all2all_dense_embedding falls out of the functional formulation.
+
+Everything here runs *inside* ``shard_map`` over a 1-D mesh axis: functions
+see the per-device view (local batch shard, local table shard) and
+communicate only via the named axis. Admission filters, eviction, freq and
+version metadata run on the owner shard, so their counts are global —
+exactly the PS-side semantics of the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..feature_column import CollectionAux, EmbeddingCollection
+from ..ops.unique import UniqueResult, unique
+from ..sparse import embedding_var as ev
+from ..sparse import hashtable as ht
+from ..sparse import keys as K
+
+
+class ShardedAux(NamedTuple):
+    """Routing + owner-side lookup state for one sharded exchange."""
+
+    # requester side
+    local_uniq: UniqueResult   # dedup of the local flat ids [N]
+    owner: jax.Array           # [U] destination shard per local unique id
+    pos: jax.Array             # [U] position within the send bucket
+    routed: jax.Array          # [U] bool: made it into the bucket (no overflow)
+    # owner side (this device as server)
+    recv_keys: K.Keys          # [S*C] ids received (flattened buckets)
+    recv_uniq: UniqueResult    # dedup of recv ids
+    recv_aux: ev.LookupAux     # owner-side lookup aux over recv_uniq.ukeys
+    n_dropped: jax.Array       # int32: local unique ids that overflowed buckets
+
+
+def _owner_of(keys: K.Keys, num_shards: int) -> jax.Array:
+    """Destination shard: hash-mod (decorrelated from the in-shard probe
+    hash by the seed). EMPTY keys route to the drop bucket (= num_shards)."""
+    h = K.hash32(keys, seed=13)
+    own = (h % np.uint32(num_shards)).astype(jnp.int32)
+    return jnp.where(K.is_empty(keys), num_shards, own)
+
+
+def exchange_lookup_or_create(
+    coll: EmbeddingCollection,
+    state: ev.EVState,
+    flat_ids: K.Keys,
+    step: jax.Array,
+    axis: str,
+    bucket_cap: int,
+) -> Tuple[ev.EVState, ShardedAux]:
+    """Per-device half of the sharded lookup (call inside shard_map).
+
+    ``state`` is the LOCAL table shard; ``flat_ids`` the LOCAL flat id batch
+    in collection layout. ``bucket_cap`` is the static per-destination
+    bucket size; unique ids beyond it are dropped (counted in
+    ``n_dropped``) — size it at ~2x the expected uniques/shard.
+    """
+    S = jax.lax.axis_size(axis)
+    uniq = unique(flat_ids)
+    U = uniq.ukeys.shape[0]
+    owner = _owner_of(uniq.ukeys, S)
+
+    # position within each destination bucket: rank among same-owner ids.
+    # sort by owner (stable on ties by carrying the index as a second key),
+    # index-within-run = i - first_index_of_run, scatter back.
+    iota = jnp.arange(U, dtype=jnp.int32)
+    sorted_pair = jax.lax.sort((owner, iota), num_keys=2)
+    srt_owner, srt_idx = sorted_pair
+    first_idx = jnp.full((S + 2,), U, jnp.int32).at[srt_owner].min(iota, mode="drop")
+    pos_sorted = iota - first_idx[srt_owner]
+    pos = jnp.zeros((U,), jnp.int32).at[srt_idx].set(pos_sorted)
+
+    routed = (owner < S) & (pos < bucket_cap)
+    # shape (1,): shardable across the mesh axis when returned from shard_map
+    n_dropped = jnp.sum((owner < S) & (pos >= bucket_cap)).astype(jnp.int32)[None]
+
+    # build send buckets [S, C]
+    dest = jnp.where(routed, owner * bucket_cap + pos, S * bucket_cap)
+    send = K.empty_like((S * bucket_cap,))
+    send = K.Keys(
+        send.hi.at[dest].set(uniq.ukeys.hi, mode="drop"),
+        send.lo.at[dest].set(uniq.ukeys.lo, mode="drop"),
+    )
+    # all_to_all the id buckets (both planes)
+    recv_hi = jax.lax.all_to_all(send.hi.reshape(S, bucket_cap), axis, 0, 0, tiled=False)
+    recv_lo = jax.lax.all_to_all(send.lo.reshape(S, bucket_cap), axis, 0, 0, tiled=False)
+    recv_keys = K.Keys(recv_hi.reshape(-1), recv_lo.reshape(-1))
+
+    # owner side: dedup (the same key may arrive from several requesters),
+    # then the ordinary local lookup-or-create with filters/metadata.
+    recv_uniq = unique(recv_keys)
+    state, recv_aux = _ev_lookup_unique(state, coll, recv_uniq, step)
+
+    return state, ShardedAux(
+        local_uniq=uniq, owner=owner, pos=pos, routed=routed,
+        recv_keys=recv_keys, recv_uniq=recv_uniq, recv_aux=recv_aux,
+        n_dropped=n_dropped,
+    )
+
+
+def _ev_lookup_unique(state, coll, uniq: UniqueResult, step):
+    """ev.lookup_or_create over an already-deduped UniqueResult (the counts
+    reflect per-requester multiplicity — freq semantics match the
+    reference's per-lookup counting on the PS side)."""
+    return ev.lookup_or_create_unique(state, coll.config, uniq, step)
+
+
+def gather_owner_rows(state_values: jax.Array, aux: ShardedAux) -> jax.Array:
+    """Owner-side rows for every received bucket position: [S*C, dim].
+    This is the DIFFERENTIABLE leaf of the sharded lookup."""
+    slots_per_pos = aux.recv_aux.slots[aux.recv_uniq.inverse]
+    return state_values[slots_per_pos]
+
+
+def rows_back(urows_owner: jax.Array, aux: ShardedAux, axis: str,
+              bucket_cap: int) -> Tuple[jax.Array, jax.Array]:
+    """Second all_to_all: owners return rows; requesters unbucket.
+
+    Returns (rows_flat [N, dim], valid_flat [N]) in local flat-id layout.
+    Linear in ``urows_owner`` -> autodiff emits the reverse exchange.
+    """
+    S = jax.lax.axis_size(axis)
+    d = urows_owner.shape[-1]
+    back = jax.lax.all_to_all(
+        urows_owner.reshape(S, bucket_cap, d), axis, 0, 0, tiled=False)
+    # local unique id i fetches back[owner[i], pos[i]]
+    u_idx = jnp.where(aux.routed, aux.owner * bucket_cap + aux.pos, 0)
+    row_u = back.reshape(S * bucket_cap, d)[u_idx]
+    row_u = jnp.where(aux.routed[:, None], row_u, 0.0)
+    rows_flat = row_u[aux.local_uniq.inverse]
+    valid_u = aux.routed & ~K.is_empty(aux.local_uniq.ukeys)
+    valid_flat = valid_u[aux.local_uniq.inverse]
+    return rows_flat, valid_flat
+
+
+def apply_gradients_sharded(
+    coll: EmbeddingCollection,
+    state: ev.EVState,
+    opt,
+    slot_state,
+    aux: ShardedAux,
+    d_urows_owner: jax.Array,
+    step: jax.Array,
+):
+    """Owner-side sparse apply: cotangents arrive per received bucket
+    position (duplicates across requesters already summed per-position by
+    the autodiff transpose); segment-sum them onto the owner's unique ids
+    and apply."""
+    n = aux.recv_uniq.ukeys.shape[0]
+    grads_u = jax.ops.segment_sum(d_urows_owner, aux.recv_uniq.inverse, n)
+    a = aux.recv_aux
+    values, slot_state = opt.apply(state.values, slot_state, a.slots,
+                                   grads_u, a.admitted, step)
+    return state._replace(values=values), slot_state
+
+
+def _sort_by(key: jax.Array, *payloads):
+    out = jax.lax.sort((key,) + payloads, num_keys=1)
+    return out[0], out[1:]
+
+
+def exchange_lookup_readonly(
+    coll: EmbeddingCollection,
+    state: ev.EVState,
+    flat_ids: K.Keys,
+    axis: str,
+    bucket_cap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Eval-path exchange: no insertion/metadata mutation; unknown keys read
+    their deterministic would-be init row. Returns (rows_flat, valid_flat)
+    in local flat layout."""
+    S = jax.lax.axis_size(axis)
+    uniq = unique(flat_ids)
+    U = uniq.ukeys.shape[0]
+    owner = _owner_of(uniq.ukeys, S)
+    iota = jnp.arange(U, dtype=jnp.int32)
+    srt_owner, srt_idx = jax.lax.sort((owner, iota), num_keys=2)
+    first_idx = jnp.full((S + 2,), U, jnp.int32).at[srt_owner].min(iota, mode="drop")
+    pos_sorted = iota - first_idx[srt_owner]
+    pos = jnp.zeros((U,), jnp.int32).at[srt_idx].set(pos_sorted)
+    routed = (owner < S) & (pos < bucket_cap)
+
+    dest = jnp.where(routed, owner * bucket_cap + pos, S * bucket_cap)
+    send = K.empty_like((S * bucket_cap,))
+    send = K.Keys(
+        send.hi.at[dest].set(uniq.ukeys.hi, mode="drop"),
+        send.lo.at[dest].set(uniq.ukeys.lo, mode="drop"),
+    )
+    recv_hi = jax.lax.all_to_all(send.hi.reshape(S, bucket_cap), axis, 0, 0)
+    recv_lo = jax.lax.all_to_all(send.lo.reshape(S, bucket_cap), axis, 0, 0)
+    recv_keys = K.Keys(recv_hi.reshape(-1), recv_lo.reshape(-1))
+
+    slots, found = ht.lookup(state.index, recv_keys, coll.config.max_probes)
+    rows_r = state.values[slots]
+    defaults = ev.init_rows(coll.config, recv_keys).astype(rows_r.dtype)
+    rvalid = ~K.is_empty(recv_keys)
+    rows_r = jnp.where((found | ~rvalid)[:, None], rows_r, defaults)
+
+    d = rows_r.shape[-1]
+    back = jax.lax.all_to_all(rows_r.reshape(S, bucket_cap, d), axis, 0, 0)
+    u_idx = jnp.where(routed, owner * bucket_cap + pos, 0)
+    row_u = back.reshape(S * bucket_cap, d)[u_idx]
+    row_u = jnp.where(routed[:, None], row_u, 0.0)
+    rows_flat = row_u[uniq.inverse]
+    valid_u = routed & ~K.is_empty(uniq.ukeys)
+    return rows_flat, valid_u[uniq.inverse]

@@ -1,0 +1,269 @@
+"""Multi-chip training: data-parallel dense stack + row-sharded tables.
+
+The distributed counterpart of train.trainer.Trainer — one ``shard_map``
+over a 1-D device mesh replaces the reference's whole PS/worker deployment
+(`tf.train.replica_device_setter` + partitioned EVs +
+grpc/grpc++/star_server, SURVEY.md §2.4):
+
+  * dense params/optimizer replicated; gradients ``psum`` over the axis
+    (sync DP — the SyncReplicasOptimizer semantics, minus staleness);
+  * every table row-sharded by key hash; lookups/updates ride two
+    ``all_to_all``s per step (parallel/sharded.py);
+  * metrics accumulated with a ``psum`` of per-device deltas.
+
+Scale-out to multiple hosts is the same code over a multi-host mesh
+(jax.distributed.initialize + the same named axis spanning DCN).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..feature_column import EmbeddingCollection, NumericColumn, normalize_dense
+from ..optim.sparse import SparseOptimizer
+from ..sparse import embedding_var as ev
+from ..sparse import hashtable as ht
+from ..sparse import keys as K
+from ..ops.unique import unique
+from ..train import metrics as metrics_lib
+from ..train.trainer import TableBundle, TrainState, bce_loss, default_forward
+from . import sharded
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if num_devices:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+class ShardedTrainer:
+    """Same API surface as Trainer, executing over a device mesh."""
+
+    def __init__(
+        self,
+        model,
+        numeric_columns: Sequence[NumericColumn],
+        collections: Dict[str, EmbeddingCollection],
+        sparse_optimizers: Dict[str, SparseOptimizer],
+        dense_optimizer: optax.GradientTransformation,
+        mesh: Optional[Mesh] = None,
+        axis: str = "dp",
+        forward: Optional[Callable] = None,
+        bucket_slack: float = 2.0,
+        aux_loss_weight: float = 1.0,
+    ):
+        self.model = model
+        self.numeric_columns = list(numeric_columns)
+        self.collections = collections
+        self.sparse_optimizers = sparse_optimizers
+        self.dense_optimizer = dense_optimizer
+        self.mesh = mesh or make_mesh()
+        self.axis = axis
+        self.S = self.mesh.shape[axis]
+        self.forward = forward or default_forward
+        self.bucket_slack = bucket_slack
+        self.aux_loss_weight = aux_loss_weight
+
+        state_spec = self._state_spec()
+        batch_specs = (
+            P(axis, None),                                # dense [B, D]
+            {n: K.Keys(P(None, axis), P(None, axis))      # cat ids [W, B]
+             for n in collections},
+            P(axis),                                      # labels [B]
+        )
+        self._jit_train = jax.jit(
+            jax.shard_map(self._train_step, mesh=self.mesh,
+                          in_specs=(state_spec,) + batch_specs,
+                          out_specs=state_spec, check_vma=False),
+            donate_argnums=(0,))
+        self._jit_eval = jax.jit(
+            jax.shard_map(self._eval_step, mesh=self.mesh,
+                          in_specs=(state_spec, P()) + batch_specs,
+                          out_specs=P(), check_vma=False),
+            donate_argnums=(1,))
+
+    # -- sharding specs ---------------------------------------------------
+    def _table_spec(self, coll, slot_example) -> TableBundle:
+        cap1 = coll.config.capacity + 1
+        def slot_leaf_spec(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap1:
+                return P(self.axis)
+            return P()
+        ev_spec = ev.EVState(
+            index=ht.HashTable(key_hi=P(self.axis), key_lo=P(self.axis),
+                               size=P(self.axis), overflow=P(self.axis)),
+            values=P(self.axis), freqs=P(self.axis), versions=P(self.axis),
+            create_steps=P(self.axis),
+            cbf=P(self.axis) if coll.config.cbf_filter else None,
+        )
+        return TableBundle(ev=ev_spec,
+                           slot=jax.tree_util.tree_map(slot_leaf_spec, slot_example))
+
+    def _state_spec(self):
+        self._slot_examples = {
+            name: self.sparse_optimizers[name].init(
+                jax.eval_shape(lambda c=coll: ev.create(c.config).values))
+            for name, coll in self.collections.items()
+        }
+        tables = {name: self._table_spec(coll, self._slot_examples[name])
+                  for name, coll in self.collections.items()}
+        return TrainState(
+            params=P(), opt_state=P(), tables=tables,
+            metrics=metrics_lib.MetricState(P(), P(), P(), P(), P()),
+            step=P(),
+        )
+
+    # -- init ---------------------------------------------------------------
+    def init(self, rng, sample_batch) -> TrainState:
+        from ..train.trainer import Trainer
+        # reuse the single-device Trainer init for params/opt_state, then
+        # tile table state across shards.
+        base = Trainer(self.model, self.numeric_columns, self.collections,
+                       self.sparse_optimizers, self.dense_optimizer,
+                       forward=self.forward)
+        st = base.init(rng, sample_batch)
+        repl = NamedSharding(self.mesh, P())
+        rowsharded = NamedSharding(self.mesh, P(self.axis))
+
+        def tile_table(bundle, coll):
+            cap1 = coll.config.capacity + 1
+            def tile(leaf):
+                if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+                    t = jnp.tile(leaf, (self.S,) + (1,) * (leaf.ndim - 1))
+                    return jax.device_put(t, rowsharded)
+                return jax.device_put(leaf, repl)
+            fresh_ev = ev.create(coll.config)
+            fresh_slot = self.sparse_optimizers_of(coll).init(fresh_ev.values)
+            return TableBundle(
+                ev=jax.tree_util.tree_map(tile, fresh_ev),
+                slot=jax.tree_util.tree_map(tile, fresh_slot),
+            )
+
+        tables = {name: tile_table(st.tables[name], coll)
+                  for name, coll in self.collections.items()}
+        return TrainState(
+            params=jax.device_put(st.params, repl),
+            opt_state=jax.device_put(st.opt_state, repl),
+            tables=tables,
+            metrics=jax.device_put(metrics_lib.create(), repl),
+            step=jax.device_put(st.step, repl),
+        )
+
+    def sparse_optimizers_of(self, coll):
+        for name, c in self.collections.items():
+            if c is coll:
+                return self.sparse_optimizers[name]
+        raise KeyError(coll)
+
+    # -- batch plumbing -------------------------------------------------------
+    def prepare_batch(self, batch):
+        from ..feature_column import pack_dense
+        dense = (jnp.asarray(pack_dense(self.numeric_columns, batch))
+                 if self.numeric_columns else None)
+        cats = {name: coll.pack_ids(batch)
+                for name, coll in self.collections.items()}
+        labels = jnp.asarray(batch["label"], jnp.float32) if "label" in batch else None
+        return dense, cats, labels
+
+    def _bucket_cap(self, n_flat_local: int) -> int:
+        c = int(np.ceil(n_flat_local * self.bucket_slack / self.S / 8.0) * 8)
+        return max(c, 8)
+
+    # -- per-device step bodies (inside shard_map) ---------------------------
+    def _sparse_forward(self, tables, cats, step):
+        new_tables, auxs, caps = {}, {}, {}
+        for name, coll in self.collections.items():
+            flat = cats[name].reshape(-1)
+            cap = self._bucket_cap(flat.shape[0])
+            caps[name] = cap
+            ev_state, aux = sharded.exchange_lookup_or_create(
+                coll, tables[name].ev, flat, step, self.axis, cap)
+            new_tables[name] = tables[name]._replace(ev=ev_state)
+            auxs[name] = aux
+        return new_tables, auxs, caps
+
+    def _train_step(self, state: TrainState, dense, cats, labels):
+        step = state.step
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+        tables, auxs, caps = self._sparse_forward(state.tables, cats, step)
+        urows = {name: sharded.gather_owner_rows(tables[name].ev.values, auxs[name])
+                 for name in self.collections}
+
+        def loss_fn(params, urows):
+            outputs = {}
+            for name, coll in self.collections.items():
+                rows, valid = sharded.rows_back(urows[name], auxs[name],
+                                                self.axis, caps[name])
+                outputs[name] = (coll.embeddings_from_rows(rows, valid),
+                                 coll.sequence_embeddings_from_rows(rows, valid))
+            out = self.forward(functools.partial(self.model.apply, params),
+                               dense, outputs, True)
+            logits, aux_loss = out if isinstance(out, tuple) else (out, 0.0)
+            loss = bce_loss(logits, labels) + self.aux_loss_weight * aux_loss
+            return loss, logits
+
+        (loss, logits), (gp, gu) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, urows)
+
+        # dense: sync DP (psum-mean); sparse: owner-side apply of the summed
+        # cotangents scaled to the global batch mean.
+        gp = jax.lax.pmean(gp, self.axis)
+        inv_s = 1.0 / self.S
+        new_tables = {}
+        for name, coll in self.collections.items():
+            bundle = tables[name]
+            ev_state, slot = sharded.apply_gradients_sharded(
+                coll, bundle.ev, self.sparse_optimizers[name], bundle.slot,
+                auxs[name], gu[name] * inv_s, step)
+            new_tables[name] = TableBundle(ev=ev_state, slot=slot)
+
+        updates, opt_state = self.dense_optimizer.update(gp, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        delta = metrics_lib.update(metrics_lib.create(state.metrics.pos_hist.shape[0]),
+                                   logits, labels, loss)
+        delta = jax.lax.psum(delta, self.axis)
+        m = jax.tree_util.tree_map(jnp.add, state.metrics, delta)
+        return TrainState(params=params, opt_state=opt_state, tables=new_tables,
+                          metrics=m, step=step + 1)
+
+    def _eval_step(self, state: TrainState, mstate, dense, cats, labels):
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+        outputs = {}
+        for name, coll in self.collections.items():
+            flat = cats[name].reshape(-1)
+            cap = self._bucket_cap(flat.shape[0])
+            rows, valid = sharded.exchange_lookup_readonly(
+                coll, state.tables[name].ev, flat, self.axis, cap)
+            outputs[name] = (coll.embeddings_from_rows(rows, valid),
+                             coll.sequence_embeddings_from_rows(rows, valid))
+        out = self.forward(functools.partial(self.model.apply, state.params),
+                           dense, outputs, False)
+        logits = out[0] if isinstance(out, tuple) else out
+        loss = bce_loss(logits, labels)
+        delta = metrics_lib.update(
+            metrics_lib.create(mstate.pos_hist.shape[0]), logits, labels, loss)
+        delta = jax.lax.psum(delta, self.axis)
+        return jax.tree_util.tree_map(jnp.add, mstate, delta)
+
+    # -- public ---------------------------------------------------------------
+    def train_step(self, state: TrainState, batch) -> TrainState:
+        dense, cats, labels = self.prepare_batch(batch)
+        return self._jit_train(state, dense, cats, labels)
+
+    def eval_step(self, state: TrainState, mstate, batch):
+        dense, cats, labels = self.prepare_batch(batch)
+        return self._jit_eval(state, mstate, dense, cats, labels)
+
+    def reset_metrics(self, state: TrainState) -> TrainState:
+        repl = NamedSharding(self.mesh, P())
+        return state._replace(metrics=jax.device_put(metrics_lib.create(), repl))

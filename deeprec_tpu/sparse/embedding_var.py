@@ -154,8 +154,19 @@ def lookup_or_create(
     EmbeddingFilter::LookupOrCreate (embedding_filter.h:56-88), expressed as
     batched vector ops instead of a per-key sharded loop.
     """
+    return lookup_or_create_unique(state, config, unique(ids), global_step)
+
+
+def lookup_or_create_unique(
+    state: EVState,
+    config: EmbeddingVariableConfig,
+    uniq,
+    global_step: jax.Array,
+) -> Tuple[EVState, LookupAux]:
+    """Core of :func:`lookup_or_create` over an already-deduplicated
+    UniqueResult (callers that dedup themselves — e.g. the sharded exchange
+    owner side — skip the second sort)."""
     cap = state.capacity
-    uniq = unique(ids)
     ukeys, counts = uniq.ukeys, uniq.counts
     gs = jnp.asarray(global_step, jnp.int32)
 
@@ -304,7 +315,8 @@ def grow(state: EVState, config: EmbeddingVariableConfig, new_capacity: int) -> 
 
 
 def load_factor(state: EVState) -> jax.Array:
-    return state.index.size.astype(jnp.float32) / state.capacity
+    # size has shape (n_shards_stacked,); sum gives global count
+    return state.index.size.sum().astype(jnp.float32) / state.capacity
 
 
 class Snapshot(NamedTuple):

@@ -50,8 +50,9 @@ class HashTable(NamedTuple):
 
     key_hi: jax.Array
     key_lo: jax.Array
-    size: jax.Array  # int32 scalar: number of occupied slots
-    overflow: jax.Array  # int32 scalar: cumulative failed inserts
+    size: jax.Array  # int32 [1]: number of occupied slots (shape (1,) so a
+    #                  sharded stack of tables can shard it like any row axis)
+    overflow: jax.Array  # int32 [1]: cumulative failed inserts
 
     @property
     def capacity(self) -> int:
@@ -68,8 +69,8 @@ def create(capacity: int) -> HashTable:
     return HashTable(
         key_hi=jnp.full((capacity,), K.EMPTY_HI, jnp.int32),
         key_lo=jnp.full((capacity,), K.EMPTY_LO, jnp.int32),
-        size=jnp.zeros((), jnp.int32),
-        overflow=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((1,), jnp.int32),
+        overflow=jnp.zeros((1,), jnp.int32),
     )
 
 
@@ -182,7 +183,7 @@ def lookup_or_insert(
         key_hi=key_hi,
         key_lo=key_lo,
         size=table.size + jnp.sum(created).astype(jnp.int32),
-        overflow=table.overflow + n_failed,
+        overflow=table.overflow + n_failed[None],
     )
     return new_table, slots, created
 

@@ -172,7 +172,11 @@ class Trainer:
             k = self.microbatches
             mb_dense = _mb_split(dense, k)
             mb_labels = _mb_split(labels, k)
-            mb_cats = jax.tree_util.tree_map(lambda x: _mb_split(x, k), cats)
+            # cat ids are [W, B]: split the batch axis, keep feature-major
+            # layout per microbatch -> [k, W, B/k]
+            mb_cats = jax.tree_util.tree_map(
+                lambda x: x.reshape(x.shape[0], k, x.shape[1] // k).transpose(1, 0, 2),
+                cats)
 
             def body(carry, mb):
                 tables, gp_acc, loss_acc = carry
@@ -237,7 +241,7 @@ class Trainer:
         for name, coll in self.collections.items():
             b = tables[name]
             lf = float(ev.load_factor(b.ev))
-            if lf >= threshold or int(b.ev.index.overflow) > 0:
+            if lf >= threshold or int(b.ev.index.overflow.sum()) > 0:
                 new_cap = b.ev.capacity * 2
                 new_ev, perm = ev.grow(b.ev, coll.config, new_cap)
                 slot = permute_slot_state(b.slot, perm, new_cap)
@@ -272,7 +276,7 @@ def _readonly_lookup(coll: EmbeddingCollection, state: ev.EVState, cats):
     from ..ops.unique import unique
     from ..sparse import hashtable as ht
     if isinstance(cats, K.Keys):
-        flat = cats
+        flat = cats.reshape(-1) if len(cats.shape) > 1 else cats
     else:
         flat, _ = coll._flatten_ids(cats)
     uniq = unique(flat)

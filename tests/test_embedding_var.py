@@ -70,7 +70,7 @@ class TestLookup:
         st, aux = ev.lookup_or_create(st, cfg, pad, 0)
         e = np.asarray(ev.lookup_dense(st, cfg, aux, (4,)))
         np.testing.assert_array_equal(e, 0.0)
-        assert int(st.index.size) == 0
+        assert int(st.index.size.sum()) == 0
 
     def test_pooled_lookup_combiners(self):
         cfg = _cfg(initializer=dr.Initializer(kind="constant", constant=1.0))
@@ -108,19 +108,19 @@ class TestFilters:
         cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=3, max_element_size=1000))
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 0)
-        assert int(st.index.size) == 0  # nothing admitted -> no slots burned
+        assert int(st.index.size.sum()) == 0  # nothing admitted -> no slots burned
         assert not np.asarray(aux.admitted).any()
         st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 1)
-        assert int(st.index.size) == 0
+        assert int(st.index.size.sum()) == 0
         st, aux = ev.lookup_or_create(st, cfg, _ids([1, 2, 3]), 2)
-        assert int(st.index.size) == 3  # third sighting crosses freq=3
+        assert int(st.index.size.sum()) == 3  # third sighting crosses freq=3
         assert np.asarray(aux.admitted).all()
 
     def test_cbf_multiplicity_admits_immediately(self):
         cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=1000))
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids([9, 9]), 0)
-        assert int(st.index.size) == 1
+        assert int(st.index.size.sum()) == 1
 
 
 class TestEviction:
@@ -131,7 +131,7 @@ class TestEviction:
         st, _ = ev.lookup_or_create(st, cfg, _ids([2, 3]), 8)
         st2, perm = ev.shrink(st, cfg, 12)
         # versions: 1->0 (evict: 12-0>=10), 2->8 keep, 3->8 keep
-        assert int(st2.index.size) == 2
+        assert int(st2.index.size.sum()) == 2
         from deeprec_tpu.sparse import hashtable as ht
         _, found = ht.lookup(st2.index, _ids([2, 3]))
         assert np.asarray(found).all()
@@ -149,7 +149,7 @@ class TestEviction:
         s1 = int(slots[np.where(uk == 1)[0][0]])
         st = st._replace(values=st.values.at[s1].set(1.0))
         st2, perm = ev.shrink(st, cfg, 1)
-        assert int(st2.index.size) == 1
+        assert int(st2.index.size.sum()) == 1
 
     def test_shrink_permutes_values(self):
         cfg = _cfg(evict=dr.GlobalStepEvict(steps_to_live=100),
@@ -158,7 +158,7 @@ class TestEviction:
         st, aux = ev.lookup_or_create(st, cfg, _ids(np.arange(50)), 0)
         before = np.asarray(ev.lookup_dense(st, cfg, aux, (50,)))
         st2, perm = ev.shrink(st, cfg, 1)
-        assert int(st2.index.size) == 50
+        assert int(st2.index.size.sum()) == 50
         st2, aux2 = ev.lookup_or_create(st2, cfg, _ids(np.arange(50)), 1)
         after = np.asarray(ev.lookup_dense(st2, cfg, aux2, (50,)))
         np.testing.assert_allclose(before, after, rtol=1e-6)
@@ -174,7 +174,7 @@ class TestEviction:
         st2, aux2 = ev.lookup_or_create(st2, cfg2, _ids(np.arange(100)), 1)
         after = np.asarray(ev.lookup_dense(st2, cfg2, aux2, (100,)))
         np.testing.assert_allclose(before, after, rtol=1e-6)
-        assert int(st2.index.size) == 100
+        assert int(st2.index.size.sum()) == 100
 
 
 class TestSnapshot:
@@ -198,7 +198,7 @@ class TestSnapshot:
         rows2 = np.asarray(ev.lookup_dense(st2, cfg, aux2, (4,)))
         np.testing.assert_allclose(rows, rows2, rtol=1e-6)
         # metadata carried over (freq was 1, +1 from the new lookup)
-        assert int(st2.index.size) == 4
+        assert int(st2.index.size.sum()) == 4
 
 
 class TestTraining:

@@ -70,8 +70,8 @@ class TestHashTable:
         ids = _keys([10, 20, 30, 40, 10])
         u = unique(ids)
         t, slots, created = ht.lookup_or_insert(t, u.ukeys)
-        assert int(t.size) == 4
-        assert int(t.overflow) == 0
+        assert int(t.size.sum()) == 4
+        assert int(t.overflow.sum()) == 0
         slots2, found = ht.lookup(t, u.ukeys)
         valid = ~np.asarray(K.is_empty(u.ukeys))
         np.testing.assert_array_equal(np.asarray(found), valid)
@@ -90,7 +90,7 @@ class TestHashTable:
         t, slots2, created2 = ht.lookup_or_insert(t, u.ukeys)
         np.testing.assert_array_equal(np.asarray(slots1), np.asarray(slots2))
         assert np.asarray(created2).sum() == 0
-        assert int(t.size) == 50
+        assert int(t.size.sum()) == 50
 
     def test_high_load_factor(self):
         cap = 1024
@@ -100,8 +100,8 @@ class TestHashTable:
         ids = rng.choice(2**60, size=n, replace=False).astype(np.int64)
         u = unique(_keys(ids))
         t, slots, created = ht.lookup_or_insert(t, u.ukeys)
-        assert int(t.overflow) == 0, "0.75 load factor should fit within probe bound"
-        assert int(t.size) == n
+        assert int(t.overflow.sum()) == 0, "0.75 load factor should fit within probe bound"
+        assert int(t.size.sum()) == n
         # every id is retrievable and maps to its own slot
         slots2, found = ht.lookup(t, _keys(ids))
         assert np.asarray(found).all()
@@ -113,8 +113,8 @@ class TestHashTable:
         ids = np.arange(cap + 32, dtype=np.int64)
         u = unique(_keys(ids))
         t, slots, created = ht.lookup_or_insert(t, u.ukeys)
-        assert int(t.size) <= cap
-        assert int(t.overflow) >= 32 - (cap - int(t.size))
+        assert int(t.size.sum()) <= cap
+        assert int(t.overflow.sum()) >= 32 - (cap - int(t.size.sum()))
 
     def test_incremental_batches(self):
         t = ht.create(2048)
@@ -133,7 +133,7 @@ class TestHashTable:
                     assert store[uk[i]] == s[i], f"slot moved for key {uk[i]}"
                 else:
                     store[uk[i]] = s[i]
-        assert int(t.size) == len(store)
+        assert int(t.size.sum()) == len(store)
 
     def test_rebuild_keep_subset(self):
         t = ht.create(256)
@@ -148,7 +148,7 @@ class TestHashTable:
             if uk[i] >= 0 and uk[i] % 2 == 0:
                 keep[s[i]] = True
         t2, old_to_new = ht.rebuild(t, jnp.asarray(keep))
-        assert int(t2.size) == 50
+        assert int(t2.size.sum()) == 50
         slots_even, found_even = ht.lookup(t2, _keys(np.arange(0, 100, 2)))
         assert np.asarray(found_even).all()
         _, found_odd = ht.lookup(t2, _keys(np.arange(1, 100, 2)))
@@ -161,7 +161,7 @@ class TestHashTable:
         t, slots, _ = ht.lookup_or_insert(t, u.ukeys)
         t2, old_to_new = ht.rebuild(t, jnp.ones(128, bool), new_capacity=512)
         assert t2.capacity == 512
-        assert int(t2.size) == 80
+        assert int(t2.size.sum()) == 80
         _, found = ht.lookup(t2, _keys(ids))
         assert np.asarray(found).all()
         # permutation maps every live old slot to a valid new slot
@@ -178,4 +178,4 @@ class TestHashTable:
         t = ht.create(256)
         k = _keys([3, 1, 4, 1, 5])
         t, slots, created = step(t, k.hi, k.lo)
-        assert int(t.size) == 4
+        assert int(t.size.sum()) == 4

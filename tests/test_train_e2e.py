@@ -55,7 +55,7 @@ def test_dlrm_trains_and_lifts_auc():
     assert summary["auc"] > 0.56, (first, summary)
     assert summary["auc"] > first["auc"] + 0.01, (first, summary)
     # table actually filled
-    assert int(state.tables["emb"].ev.index.size) > 100
+    assert int(state.tables["emb"].ev.index.size.sum()) > 100
 
     # eval on fresh batches with read-only lookup
     mstate = metrics_lib.create()
@@ -123,7 +123,7 @@ def test_grow_mid_training():
         caps.add(state.tables["emb"].ev.capacity)
         state = tr.maybe_grow(state, threshold=0.6)
     assert len(caps) > 1, "table should have grown mid-training"
-    assert int(state.tables["emb"].ev.index.overflow) == 0 or max(caps) >= 1024
+    assert int(state.tables["emb"].ev.index.overflow.sum()) == 0 or max(caps) >= 1024
 
 
 def test_multivalent_and_hash_bucket_columns():
@@ -150,4 +150,4 @@ def test_multivalent_and_hash_bucket_columns():
     assert int(state.step) == 6
     # hash bucket: C1 table rows bounded by bucket count
     # (salted per column, so <= 50 + multivalent vocab)
-    assert int(state.tables["emb"].ev.index.size) <= 50 + 40
+    assert int(state.tables["emb"].ev.index.size.sum()) <= 50 + 40
