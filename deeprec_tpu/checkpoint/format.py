@@ -1,0 +1,110 @@
+"""On-disk checkpoint layout.
+
+TPU-native rebuild of DeepRec's EV-aware checkpoint format: a full
+checkpoint stores, per table, the same 4 logical tensors the reference's
+``EmbeddingVariableSaveable`` emits — ``-keys``, ``-values``, ``-versions``,
+``-freqs`` (reference: tensorflow/python/training/saving/
+saveable_object_util.py:169-172, kernels/kv_variable_ops.h:149
+DumpEmbeddingValues) — plus optimizer slot rows (slots share row lifetime
+with the primary, slot_creator.py:82-115) and creation steps. Incremental
+checkpoints store only rows touched since the previous save (reference
+IncrSave, core/kernels/incr_save_restore_ops.cc:112).
+
+Layout (one directory per save):
+
+    <dir>/full-00000100/
+        manifest.json          # kind/step/tables/time
+        dense.npz              # flattened params/opt_state/step leaves
+        table-<name>.npz       # keys int64[n], values [n,d], versions[n],
+                               # freqs[n], create_steps[n],
+                               # slot__<path> row arrays, scalar__<path>
+    <dir>/incr-00000130/       # same shape, delta rows only
+
+Restores are **mod-reshard-safe**: rows are routed to shards by the same
+key hash the runtime uses (parallel/sharded._owner_of), so the shard count
+may change between save and restore — the invariant the reference keeps via
+mod-sharded bundle reads (embedding_var.h:196-199).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+MANIFEST = "manifest.json"
+DENSE = "dense.npz"
+
+
+def step_dirname(kind: str, step: int) -> str:
+    return f"{kind}-{step:010d}"
+
+
+def list_saves(directory: str) -> List[Dict[str, Any]]:
+    """All complete saves, sorted by step then kind (full first)."""
+    out = []
+    if not os.path.isdir(directory):
+        return out
+    for name in os.listdir(directory):
+        mpath = os.path.join(directory, name, MANIFEST)
+        if not os.path.isfile(mpath):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        m["path"] = os.path.join(directory, name)
+        out.append(m)
+    out.sort(key=lambda m: (m["step"], 0 if m["kind"] == "full" else 1))
+    return out
+
+
+def restore_plan(directory: str) -> Tuple[Optional[Dict], List[Dict]]:
+    """(latest full save, incrementals after it in replay order)."""
+    saves = list_saves(directory)
+    fulls = [m for m in saves if m["kind"] == "full"]
+    if not fulls:
+        return None, []
+    base = fulls[-1]
+    incrs = [m for m in saves
+             if m["kind"] == "incr" and m["step"] > base["step"]]
+    return base, incrs
+
+
+def write_save(path: str, manifest: Dict[str, Any],
+               dense_leaves: List[np.ndarray],
+               tables: Dict[str, Dict[str, np.ndarray]]) -> None:
+    """Atomic-ish: write into <path>.tmp then rename (manifest last)."""
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    np.savez(os.path.join(tmp, DENSE),
+             **{f"d{i:05d}": leaf for i, leaf in enumerate(dense_leaves)})
+    for name, arrays in tables.items():
+        np.savez(os.path.join(tmp, f"table-{name}.npz"), **arrays)
+    manifest = dict(manifest, time=time.time())
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    if os.path.isdir(path):
+        os.rename(path, path + f".old.{os.getpid()}")
+    os.rename(tmp, path)
+
+
+def read_dense(path: str) -> List[np.ndarray]:
+    with np.load(os.path.join(path, DENSE)) as z:
+        return [z[k] for k in sorted(z.files)]
+
+
+def read_table(path: str, name: str) -> Dict[str, np.ndarray]:
+    with np.load(os.path.join(path, f"table-{name}.npz")) as z:
+        return {k: z[k] for k in z.files}
+
+
+def slot_leaf_names(slot_state) -> List[Tuple[str, Any]]:
+    """Stable (name, leaf) pairs for an optimizer slot pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(slot_state)[0]
+    out = []
+    for kp, leaf in flat:
+        name = "".join(str(k) for k in kp).replace("/", "_")
+        out.append((name, leaf))
+    return out

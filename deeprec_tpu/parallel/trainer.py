@@ -71,11 +71,16 @@ class ShardedTrainer:
         self.bucket_slack = bucket_slack
         self.aux_loss_weight = aux_loss_weight
 
+        self.rejit()
+
+    def rejit(self):
+        """(Re)build the jitted sharded steps (after capacity changes)."""
+        axis = self.axis
         state_spec = self._state_spec()
         batch_specs = (
             P(axis, None),                                # dense [B, D]
             {n: K.Keys(P(None, axis), P(None, axis))      # cat ids [W, B]
-             for n in collections},
+             for n in self.collections},
             P(axis),                                      # labels [B]
         )
         self._jit_train = jax.jit(

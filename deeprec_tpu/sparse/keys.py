@@ -109,6 +109,22 @@ def hash32(keys: Keys, seed: int = 0) -> jax.Array:
     return h
 
 
+def hash32_np(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Numpy mirror of :func:`hash32` over int64 ids (host-side resharding
+    at checkpoint restore must route keys exactly like the device does)."""
+    a = np.asarray(ids, dtype=np.int64)
+    lo = (a & np.int64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (a >> np.int64(32)).astype(np.int64).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = lo ^ (hi * np.uint32(0x85EBCA6B)) ^ np.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
 def mod(keys: Keys, n: int) -> jax.Array:
     """``key % n`` over the full 64-bit value (non-negative result).
 

@@ -250,10 +250,14 @@ class Trainer:
                 changed = True
         if not changed:
             return state
-        # capacity is a static shape: re-jit on next call
+        self.rejit()
+        return state._replace(tables=tables)
+
+    def rejit(self):
+        """Rebuild the jitted steps after a static-shape change (table
+        capacity growth at runtime or at checkpoint restore)."""
         self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_step, donate_argnums=(1,))
-        return state._replace(tables=tables)
 
     def reset_metrics(self, state: TrainState) -> TrainState:
         return state._replace(metrics=metrics_lib.create())
