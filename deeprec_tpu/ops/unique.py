@@ -27,6 +27,25 @@ class UniqueResult(NamedTuple):
     n_unique: jax.Array  # int32 scalar (EMPTY/invalid inputs excluded)
 
 
+def unique_int32(idx: jax.Array):
+    """Dedup a 1-D int32 index batch (single-plane fast path for static
+    tables, e.g. multi-hash sub-indices). Returns (uidx, inverse, counts);
+    ``uidx`` is padded at the tail with INT32_MAX-like max values — callers
+    mask with ``uidx < size``."""
+    n = idx.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    sidx, spos = jax.lax.sort((idx, pos), num_keys=1)
+    prev = sidx[jnp.maximum(jnp.arange(n) - 1, 0)]
+    first = (sidx != prev).at[0].set(True)
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    inverse = jnp.zeros((n,), jnp.int32).at[spos].set(uid_sorted)
+    scatter_to = jnp.where(first, uid_sorted, n)
+    uidx = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    uidx = uidx.at[scatter_to].set(sidx, mode="drop")
+    counts = jnp.zeros((n,), jnp.int32).at[uid_sorted].add(1)
+    return uidx, inverse, counts
+
+
 def unique(ids: K.Keys) -> UniqueResult:
     """Deduplicate a 1-D batch of keys. EMPTY keys group together at the
     front of the sort order and are excluded from ``n_unique``; their
