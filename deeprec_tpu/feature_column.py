@@ -55,11 +55,15 @@ class NumericColumn:
 class CategoricalColumn:
     """Id source. ``hash_bucket_size``: pre-mod ids into a fixed space
     (categorical_column_with_hash_bucket semantics); None = raw 64-bit ids
-    (categorical_column_with_embedding semantics)."""
+    (categorical_column_with_embedding semantics). ``shared_embedding``:
+    columns with the same group name share table rows — the
+    shared_embedding_columns semantics (needed e.g. for DIN/DIEN where the
+    candidate item and the behaviour history embed in one item space)."""
 
     name: str
     hash_bucket_size: Optional[int] = None
     max_length: int = 1  # ids per example (multivalent width, -1 padded)
+    shared_embedding: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,6 +140,13 @@ class EmbeddingCollection:
         self._widths = [c.categorical.max_length for c in self.columns]
         self._offsets = np.cumsum([0] + self._widths).tolist()
         self.total_width = self._offsets[-1]
+        # per-column salt group: shared_embedding columns get one salt so
+        # the same raw id hits the same row across them
+        groups: Dict[str, int] = {}
+        self._salts = []
+        for c in self.columns:
+            g = c.categorical.shared_embedding or c.categorical.name
+            self._salts.append(groups.setdefault(g, len(groups)))
 
     # -- state ---------------------------------------------------------
     def init(self) -> ev.EVState:
@@ -159,9 +170,10 @@ class EmbeddingCollection:
             ids = raw
             if cc.hash_bucket_size:
                 ids = np.where(empty, ids, ids % cc.hash_bucket_size)
-            if ci:
-                c1 = np.int64((ci * 0x9E3779B1) & 0x7FFFFFFF) << 32
-                c2 = np.int64((ci * 0x85EBCA77) & 0x7FFFFFFF)
+            si = self._salts[ci]
+            if si:
+                c1 = np.int64((si * 0x9E3779B1) & 0x7FFFFFFF) << 32
+                c2 = np.int64((si * 0x85EBCA77) & 0x7FFFFFFF)
                 ids = np.where(empty, ids, ids ^ c1 ^ c2)
             blocks.append(ids.T)  # [w, B]
         flat = np.concatenate(blocks, axis=0)  # [total_width, B]
@@ -186,7 +198,7 @@ class EmbeddingCollection:
             if cc.hash_bucket_size:
                 bucket = K.mod(ids, cc.hash_bucket_size)
                 ids = K.where(K.is_empty(ids), ids, K.Keys(jnp.zeros_like(bucket), bucket))
-            ids = _salt(ids, ci)
+            ids = _salt(ids, self._salts[ci])
             # transpose to [w, B] so the global flat layout is
             # [total_width, B] (see layout note at the bottom of the file)
             parts.append(K.Keys(ids.hi.T.reshape(-1), ids.lo.T.reshape(-1)))

@@ -31,6 +31,7 @@ class DIN(nn.Module):
     context_names: Sequence[str] = ()
     hidden_units: Sequence[int] = (200, 80)
     att_units: Sequence[int] = (80, 40)
+    activation: str = "dice"  # dice | relu | sigmoid (reference uses dice)
 
     @nn.compact
     def __call__(self, dense, emb, seq, train=True):
@@ -46,7 +47,12 @@ class DIN(nn.Module):
         x = jnp.concatenate(parts, axis=-1)
         for i, u in enumerate(self.hidden_units):
             x = nn.Dense(u, name=f"fc_{i}")(x)
-            x = Dice(name=f"dice_{i}")(x, train=train)
+            if self.activation == "dice":
+                x = Dice(name=f"dice_{i}")(x, train=train)
+            elif self.activation == "relu":
+                x = nn.relu(x)
+            else:
+                x = nn.sigmoid(x)
         return nn.Dense(1, name="out")(x)[:, 0]
 
 

@@ -1,0 +1,244 @@
+"""Shared modelzoo trainer CLI.
+
+Rebuild of the reference modelzoo trainer skeleton (modelzoo/WDL/train.py:
+argparse CLI -> input pipeline -> feature columns -> model -> session loop
+with saver/summary/timeline hooks -> AUC/accuracy eval). One runner serves
+every model; each ``modelzoo/<model>/train.py`` supplies a ``ModelSpec``.
+
+Flag parity map (reference flag -> here):
+  --batch_size/--steps            same
+  --learning_rate / --optimizer   same (sparse side; dense follows)
+  --bf16 (keep_weights scopes)    --bf16: bf16 compute dtype in towers
+  --smartstage / tf.staged        --prefetch_depth / --prefetch_workers
+  --micro_batch (AutoMicroBatch)  --micro_batch
+  --protocol grpc/grpc++/star     --mesh N (collectives replace RPC)
+  --save_steps + incremental      --save_secs / --incr_save_secs
+  --ev / filters / eviction       --ev_filter_freq / --ev_evict_steps
+  --timeline                      --profile DIR (jax.profiler trace)
+  WorkQueue                       --workqueue DIR over input files
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    name: str
+    model: object
+    numeric_columns: Sequence
+    collections: Dict
+    sparse_optimizers: Dict          # name -> SparseOptimizer
+    train_data: Callable[[argparse.Namespace], "iter"]
+    eval_data: Callable[[argparse.Namespace], "iter"]
+    forward: Optional[Callable] = None
+    aux_loss_weight: float = 0.0
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--eval_steps", type=int, default=20)
+    p.add_argument("--learning_rate", type=float, default=0.05)
+    p.add_argument("--optimizer", default="adagrad",
+                   choices=["sgd", "adagrad", "adagrad_decay", "adam",
+                            "adam_async", "ftrl", "momentum"])
+    p.add_argument("--emb_dim", type=int, default=16)
+    p.add_argument("--capacity", type=int, default=1 << 19,
+                   help="per-shard dynamic-table capacity (pow2)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute in dense towers (keep_weights analog)")
+    p.add_argument("--micro_batch", type=int, default=1,
+                   help="AutoMicroBatch pipeline count")
+    p.add_argument("--prefetch_depth", type=int, default=2)
+    p.add_argument("--prefetch_workers", type=int, default=2)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="devices for the sharded trainer (0 = single-chip)")
+    p.add_argument("--checkpoint", default="",
+                   help="checkpoint directory (restores latest if present)")
+    p.add_argument("--save_secs", type=float, default=None)
+    p.add_argument("--incr_save_secs", type=float, default=None)
+    p.add_argument("--ev_filter_freq", type=int, default=0)
+    p.add_argument("--ev_evict_steps", type=int, default=0)
+    p.add_argument("--data_location", default="",
+                   help="Criteo-format file; empty = synthetic stream")
+    p.add_argument("--workqueue", default="",
+                   help="WorkQueue dir for elastic file sharding")
+    p.add_argument("--profile", default="",
+                   help="jax.profiler trace dir (timeline analog)")
+    p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--synthetic", action="store_true",
+                   help="force the synthetic stream (default when no "
+                        "--data_location)")
+    p.add_argument("--synthetic_items", type=int, default=50_000,
+                   help="item-vocab size of the synthetic behaviour stream")
+    p.add_argument("--synthetic_users", type=int, default=10_000)
+    return p
+
+
+def ev_kwargs(args) -> dict:
+    import deeprec_tpu as dr
+    kw = {}
+    if args.ev_filter_freq:
+        kw["counter_filter"] = dr.CounterFilter(args.ev_filter_freq)
+    if args.ev_evict_steps:
+        kw["evict"] = dr.GlobalStepEvict(args.ev_evict_steps)
+    return kw
+
+
+def make_sparse_opt(args):
+    from ..optim import sparse as sopt
+    return sopt.make(args.optimizer, learning_rate=args.learning_rate)
+
+
+def make_dense_opt(args):
+    import optax
+    table = {
+        "sgd": lambda: optax.sgd(args.learning_rate),
+        "momentum": lambda: optax.sgd(args.learning_rate, momentum=0.9),
+        "adagrad": lambda: optax.adagrad(args.learning_rate),
+        "adagrad_decay": lambda: optax.adagrad(args.learning_rate),
+        "adam": lambda: optax.adam(args.learning_rate),
+        "adam_async": lambda: optax.adam(args.learning_rate),
+        "ftrl": lambda: optax.adagrad(args.learning_rate),
+    }
+    return table[args.optimizer]()
+
+
+def run(spec: ModelSpec, args) -> dict:
+    """Train/eval loop shared by every modelzoo trainer. Returns (and
+    prints, as the reference trainers do) the summary metrics."""
+    import jax
+
+    from ..checkpoint import CheckpointManager
+    from ..data.prefetch import staged
+    from ..parallel.trainer import ShardedTrainer, make_mesh
+    from ..train import metrics as M
+    from ..train.trainer import Trainer
+
+    common = dict(
+        model=spec.model, numeric_columns=spec.numeric_columns,
+        collections=spec.collections,
+        sparse_optimizers=spec.sparse_optimizers,
+        dense_optimizer=make_dense_opt(args), forward=spec.forward,
+        aux_loss_weight=spec.aux_loss_weight,
+    )
+    if args.mesh:
+        tr = ShardedTrainer(mesh=make_mesh(args.mesh), **common)
+    else:
+        tr = Trainer(microbatches=args.micro_batch, **common)
+
+    train_it = spec.train_data(args)
+    first = next(iter(train_it))
+    state = tr.init(jax.random.key(args.seed), first)
+
+    mgr = None
+    if args.checkpoint:
+        mgr = CheckpointManager(args.checkpoint, full_secs=args.save_secs,
+                                incr_secs=args.incr_save_secs)
+        state, restored = mgr.restore(tr, state)
+        if restored:
+            print(f"restored from {args.checkpoint} at step {int(state.step)}")
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    t0 = time.perf_counter()
+    done = 0
+    import itertools
+    stream = itertools.chain([first], train_it)
+    with staged(itertools.islice(stream, args.steps), prepare=tr.prepare_batch,
+                depth=args.prefetch_depth, workers=args.prefetch_workers) as pf:
+        for packed in pf:
+            state = tr._jit_train(state, *packed)
+            done += 1
+            if done % args.log_steps == 0:
+                m = M.summarize(state.metrics)
+                dt = time.perf_counter() - t0
+                print(f"step {int(state.step)}  loss={m['loss']:.5f}  "
+                      f"auc={m['auc']:.4f}  "
+                      f"({done * args.batch_size / dt:.0f} ex/s)")
+            if mgr is not None:
+                mgr.maybe_save(tr, state)
+    jax.block_until_ready(state.step)
+    train_secs = time.perf_counter() - t0
+
+    if args.profile:
+        jax.profiler.stop_trace()
+    if mgr is not None:
+        mgr.save(tr, state)
+
+    train_m = M.summarize(state.metrics)
+
+    # eval on a held-out stream (read-only lookups)
+    mstate = M.create()
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mstate = jax.device_put(mstate, NamedSharding(tr.mesh, P()))
+    for batch in spec.eval_data(args):
+        mstate = tr.eval_step(state, mstate, batch)
+    eval_m = M.summarize(mstate)
+
+    out = {
+        "model": spec.name,
+        "steps": int(state.step),
+        "train_loss": round(train_m["loss"], 5),
+        "train_auc": round(train_m["auc"], 5),
+        "eval_auc": round(eval_m["auc"], 5),
+        "eval_accuracy": round(eval_m["accuracy"], 5),
+        "examples_per_sec": round(done * args.batch_size / max(train_secs, 1e-9), 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+# -- shared data plumbing -----------------------------------------------------
+
+
+def criteo_train_stream(args):
+    from ..data.criteo import SyntheticCriteo, read_criteo
+    from ..data.work_queue import WorkQueue, input_producer
+    if args.data_location and not args.synthetic:
+        files = args.data_location.split(",")
+        if args.workqueue:
+            q = WorkQueue(files, path=args.workqueue, num_epochs=1000)
+            return input_producer(q, read_criteo, batch_size=args.batch_size)
+        def gen():
+            while True:
+                for f in files:
+                    yield from read_criteo(f, args.batch_size)
+        return gen()
+    return SyntheticCriteo(batch_size=args.batch_size, seed=args.seed)
+
+
+def criteo_eval_stream(args):
+    from ..data.criteo import SyntheticCriteo, read_criteo
+    if args.data_location and not args.synthetic:
+        f = args.data_location.split(",")[0]
+        import itertools
+        return itertools.islice(read_criteo(f, args.batch_size), args.eval_steps)
+    gen = SyntheticCriteo(batch_size=args.batch_size, seed=args.seed + 999)
+    return gen.take(args.eval_steps)
+
+
+def behavior_train_stream(args):
+    from ..data.behavior import SyntheticBehavior
+    return SyntheticBehavior(batch_size=args.batch_size, seed=args.seed,
+                             n_items=args.synthetic_items,
+                             n_users=args.synthetic_users)
+
+
+def behavior_eval_stream(args):
+    from ..data.behavior import SyntheticBehavior
+    gen = SyntheticBehavior(batch_size=args.batch_size, seed=args.seed + 999,
+                            n_items=args.synthetic_items,
+                            n_users=args.synthetic_users)
+    return gen.take(args.eval_steps)

@@ -1,0 +1,55 @@
+"""DIEN trainer: GRU interest extraction + AUGRU interest evolution.
+
+Rebuild of reference modelzoo/DIEN (script/rnn.py custom GRU/AUGRU fork):
+GRU states over the behaviour sequence, attention vs. the candidate, AUGRU
+final interest, with the auxiliary next-behaviour loss during training.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from deeprec_tpu import Initializer, feature_column as fc
+from deeprec_tpu.models import sequence
+from deeprec_tpu.train import cli
+
+MAX_LEN = 32
+
+
+def dien_forward(apply_fn, dense, outputs, train):
+    emb, seq = outputs["emb"]
+    return apply_fn(dense, emb, seq=seq, train=train, return_aux=train)
+
+
+def build(args) -> cli.ModelSpec:
+    cols = [
+        fc.EmbeddingColumn(
+            fc.CategoricalColumn("item", shared_embedding="item_space"),
+            args.emb_dim),
+        fc.EmbeddingColumn(fc.CategoricalColumn("cate"), args.emb_dim),
+        fc.EmbeddingColumn(fc.CategoricalColumn("uid"), args.emb_dim),
+        fc.SequenceEmbeddingColumn(
+            fc.CategoricalColumn("hist_item", max_length=MAX_LEN,
+                                 shared_embedding="item_space"),
+            args.emb_dim),
+    ]
+    coll = fc.EmbeddingCollection(
+        cols, name="emb", capacity=args.capacity,
+        initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
+    model = sequence.DIEN(
+        candidate_name="item", seq_name="hist_item",
+        context_names=["cate", "uid"], gru_units=args.emb_dim,
+        hidden_units=(200, 80), att_units=(80, 40), use_aux_loss=True)
+    return cli.ModelSpec(
+        name="DIEN", model=model, numeric_columns=[],
+        collections={"emb": coll},
+        sparse_optimizers={"emb": cli.make_sparse_opt(args)},
+        train_data=cli.behavior_train_stream,
+        eval_data=cli.behavior_eval_stream,
+        forward=dien_forward, aux_loss_weight=1.0)
+
+
+if __name__ == "__main__":
+    args = cli.base_parser("DIEN on behaviour data").parse_args()
+    cli.run(build(args), args)

@@ -1,0 +1,54 @@
+"""DIN trainer: attention pooling over the behaviour sequence.
+
+Rebuild of reference modelzoo/DIN (script/model.py:11-465): the candidate
+item embedding attends over the clicked-item history (DIN local activation
+unit), Dice activations in the MLP. Candidate and history share the item
+embedding space (shared_embedding group).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from deeprec_tpu import Initializer, feature_column as fc
+from deeprec_tpu.models import sequence
+from deeprec_tpu.train import cli
+
+MAX_LEN = 32
+
+
+def build(args) -> cli.ModelSpec:
+    cols = [
+        fc.EmbeddingColumn(
+            fc.CategoricalColumn("item", shared_embedding="item_space"),
+            args.emb_dim),
+        fc.EmbeddingColumn(fc.CategoricalColumn("cate"), args.emb_dim),
+        fc.EmbeddingColumn(fc.CategoricalColumn("uid"), args.emb_dim),
+        fc.SequenceEmbeddingColumn(
+            fc.CategoricalColumn("hist_item", max_length=MAX_LEN,
+                                 shared_embedding="item_space"),
+            args.emb_dim),
+        fc.EmbeddingColumn(
+            fc.CategoricalColumn("hist_cate", max_length=MAX_LEN,
+                                 shared_embedding="cate_space"),
+            args.emb_dim, combiner="mean"),
+    ]
+    coll = fc.EmbeddingCollection(
+        cols, name="emb", capacity=args.capacity,
+        initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
+    model = sequence.DIN(
+        candidate_name="item", seq_name="hist_item",
+        context_names=["cate", "uid", "hist_cate"],
+        hidden_units=(200, 80), att_units=(80, 40))
+    return cli.ModelSpec(
+        name="DIN", model=model, numeric_columns=[],
+        collections={"emb": coll},
+        sparse_optimizers={"emb": cli.make_sparse_opt(args)},
+        train_data=cli.behavior_train_stream,
+        eval_data=cli.behavior_eval_stream)
+
+
+if __name__ == "__main__":
+    args = cli.base_parser("DIN on behaviour data").parse_args()
+    cli.run(build(args), args)
