@@ -32,6 +32,61 @@ def _hash_token(tok: str) -> np.int64:
     return np.int64(-2 if v == -1 else v)
 
 
+def read_criteo_native(
+    path: str,
+    batch_size: int,
+    num_epochs: int = 1,
+    chunk_bytes: int = 8 << 20,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream batches through the native C++ parser
+    (native/deeprec_native.cc criteo_parse — the input-pipeline hot path;
+    ~20x the python reader). Falls back to :func:`read_criteo` when the
+    toolchain is unavailable. Token ids use the native FNV/splitmix hash
+    (stable, but distinct from the python reader's blake2b ids — pick one
+    reader per training run)."""
+    from ..utils.native import criteo_parse_chunk, get_lib
+    if get_lib() is None:
+        yield from read_criteo(path, batch_size, num_epochs)
+        return
+    for _epoch in range(num_epochs):
+        acc_l, acc_d, acc_c = [], [], []
+        n_acc = 0
+        with open(path, "rb") as f:
+            rest = b""
+            while True:
+                chunk = f.read(chunk_bytes)
+                if not chunk and not rest:
+                    break
+                buf = rest + chunk
+                if not chunk and buf and not buf.endswith(b"\n"):
+                    buf += b"\n"  # final unterminated line
+                labels, dense, cats, consumed = criteo_parse_chunk(
+                    buf, max_rows=1 << 20)
+                rest = buf[consumed:]
+                if labels.shape[0] == 0 and not chunk:
+                    break
+                acc_l.append(labels); acc_d.append(dense); acc_c.append(cats)
+                n_acc += labels.shape[0]
+                while n_acc >= batch_size:
+                    L = np.concatenate(acc_l); D = np.concatenate(acc_d)
+                    C = np.concatenate(acc_c)
+                    yield _pack_arrays(L[:batch_size], D[:batch_size],
+                                       C[:batch_size])
+                    acc_l, acc_d, acc_c = [L[batch_size:]], [D[batch_size:]], [C[batch_size:]]
+                    n_acc -= batch_size
+                if not chunk:
+                    break
+
+
+def _pack_arrays(labels: np.ndarray, dense: np.ndarray, cats: np.ndarray):
+    out = {"label": labels}
+    for i, nm in enumerate(DENSE_NAMES):
+        out[nm] = dense[:, i]
+    for i, nm in enumerate(CAT_NAMES):
+        out[nm] = cats[:, i]
+    return out
+
+
 def read_criteo(
     path: str,
     batch_size: int,

@@ -1,0 +1,118 @@
+"""Multi-tier embedding storage: HBM (device) + host DRAM overflow.
+
+TPU-native rebuild of DeepRec's multi-tier EmbeddingVariable storage
+(reference: embedding/config.proto StorageType{DRAM,PMEM,SSD}, the
+DRAM/PMEM ValuePtr tiers behind EmbeddingVar, and modelzoo/features/pmem).
+On TPU the hot tier is the device HBM row store of :mod:`embedding_var`;
+the cold tier is a native host-DRAM KV (:class:`deeprec_tpu.utils.native.
+HostKV`, C++ sharded open-addressing arena).
+
+Protocol (host-in-the-loop, mirroring the reference's CPU-side tier):
+
+* **demote(state, slots)** — between steps, rows the eviction policy marks
+  cold are exported to the host tier and dropped from HBM (capacity is
+  reclaimed by the index rebuild). Their learned values survive.
+* **lookup_or_create(...)** — the normal jitted lookup; afterwards the
+  *created* keys (one small D2H transfer of the unique tail) are probed in
+  the host tier and any hits are **promoted**: their saved rows overwrite
+  the fresh init rows in HBM (one H2D scatter), and they leave the host
+  tier. A cold feature recurring after demotion keeps its training state.
+
+The device step itself stays pure/jittable; tier traffic happens at step
+boundaries, so XLA's pipeline is never blocked by a host callback.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EmbeddingVariableConfig, GlobalStepEvict, L2WeightEvict
+from ..utils.native import HostKV
+from . import embedding_var as ev
+from . import keys as K
+
+
+class TieredTable:
+    """Host-tier manager paired with one EVState (and optionally its
+    optimizer slot rows — demoted rows keep their optimizer state too)."""
+
+    def __init__(self, config: EmbeddingVariableConfig,
+                 capacity_hint: int = 1 << 16, track_slots: bool = False):
+        self.config = config
+        self.host = HostKV(config.embedding_dim, capacity_hint)
+        self.track_slots = track_slots
+        self._slot_host: Optional[HostKV] = None
+
+    # -- promotion (after lookup) -------------------------------------------
+    def promote_created(self, state: ev.EVState, aux: ev.LookupAux
+                        ) -> ev.EVState:
+        """Patch rows created this step with their host-tier values (if
+        any). Host round-trip on the unique keys only."""
+        if len(self.host) == 0:
+            return state
+        created = np.asarray(aux.created)
+        if not created.any():
+            return state
+        ukeys = K.to_numpy(K.Keys(np.asarray(aux.uniq.ukeys.hi),
+                                  np.asarray(aux.uniq.ukeys.lo)))
+        slots = np.asarray(aux.slots)
+        ck, cs = ukeys[created], slots[created]
+        rows, found = self.host.lookup(ck)
+        if not found.any():
+            return state
+        hk, hs, hr = ck[found], cs[found], rows[found]
+        values = state.values.at[jnp.asarray(hs)].set(
+            jnp.asarray(hr, state.values.dtype))
+        self.host.erase(hk)
+        return state._replace(values=values)
+
+    # -- demotion (between steps / at checkpoint) ------------------------------
+    def demote(self, state: ev.EVState, global_step,
+               slot_state=None) -> Tuple[ev.EVState, jax.Array]:
+        """Move policy-cold rows to the host tier, then shrink HBM
+        (embedding_var.shrink). Returns (state, old_to_new) — callers
+        permute their slot rows with it, exactly like a plain shrink."""
+        cfg = self.config
+        cap = state.capacity
+        gs = int(global_step)
+        versions = np.asarray(state.versions[:cap])
+        occupied = ~np.asarray(
+            (np.asarray(state.index.key_hi) == -1)
+            & (np.asarray(state.index.key_lo) == -1))
+        cold = np.zeros((cap,), bool)
+        pol = cfg.evict
+        if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
+            cold = occupied & (gs - versions >= pol.steps_to_live)
+        elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
+            norms = np.sum(np.asarray(state.values[:cap], np.float64) ** 2, -1)
+            cold = occupied & (norms < pol.l2_weight_threshold)
+        if cold.any():
+            idx = np.nonzero(cold)[0]
+            keys64 = ((np.asarray(state.index.key_hi)[idx].astype(np.int64) << 32)
+                      | np.asarray(state.index.key_lo)[idx].astype(np.uint32).astype(np.int64))
+            self.host.upsert(keys64, np.asarray(state.values, np.float32)[idx])
+        new_state, old_to_new = ev.shrink(state, cfg, jnp.asarray(gs, jnp.int32))
+        return new_state, old_to_new
+
+    # -- full lookup-or-create with tier promotion ----------------------------
+    def lookup_or_create(self, state: ev.EVState, ids: K.Keys, step
+                         ) -> Tuple[ev.EVState, ev.LookupAux]:
+        state, aux = ev.lookup_or_create(state, self.config, ids,
+                                         jnp.asarray(step, jnp.int32))
+        state = self.promote_created(state, aux)
+        return state, aux
+
+    # -- tier stats/persistence -------------------------------------------------
+    def host_rows(self) -> int:
+        return len(self.host)
+
+    def export_host(self):
+        """(keys int64[n], rows f32[n, dim]) — for checkpointing the cold
+        tier alongside the device table."""
+        return self.host.export()
+
+    def import_host(self, keys: np.ndarray, rows: np.ndarray):
+        self.host.upsert(keys, rows)

@@ -1,0 +1,164 @@
+"""ctypes bindings for the native host runtime (native/deeprec_native.cc).
+
+Builds the shared library on first use with g++ (the image has no
+pybind11; plain C ABI + ctypes keeps the binding dependency-free) and
+caches it next to the source. Pure-python fallbacks exist for every entry
+point so the package works without a toolchain — native is the fast path,
+not a hard dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+_SRC = os.path.join(_REPO, "native", "deeprec_native.cc")
+_SO = os.path.join(_REPO, "native", "libdeeprec_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", _SO + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.hostkv_create.restype = ctypes.c_void_p
+        lib.hostkv_create.argtypes = [_i64, _i64]
+        lib.hostkv_destroy.argtypes = [ctypes.c_void_p]
+        lib.hostkv_size.restype = _i64
+        lib.hostkv_size.argtypes = [ctypes.c_void_p]
+        lib.hostkv_dim.restype = _i64
+        lib.hostkv_dim.argtypes = [ctypes.c_void_p]
+        lib.hostkv_upsert.argtypes = [ctypes.c_void_p, _p_i64, _p_f32, _i64]
+        lib.hostkv_lookup.restype = _i64
+        lib.hostkv_lookup.argtypes = [ctypes.c_void_p, _p_i64, _p_f32, _p_u8, _i64]
+        lib.hostkv_erase.argtypes = [ctypes.c_void_p, _p_i64, _i64]
+        lib.hostkv_export.restype = _i64
+        lib.hostkv_export.argtypes = [ctypes.c_void_p, _p_i64, _p_f32, _i64]
+        lib.criteo_parse.restype = _i64
+        lib.criteo_parse.argtypes = [ctypes.c_char_p, _i64, _i64,
+                                     _p_f32, _p_f32, _p_i64,
+                                     ctypes.POINTER(_i64)]
+        _lib = lib
+        return _lib
+
+
+class HostKV:
+    """Host-DRAM row store: the DRAM/PMEM storage tier of multi-tier
+    embedding storage (reference StorageType{DRAM,PMEM}). Batched numpy
+    API; C++ sharded open-addressing map underneath, dict fallback."""
+
+    def __init__(self, dim: int, capacity_hint: int = 1 << 16):
+        self.dim = dim
+        self._lib = get_lib()
+        if self._lib is not None:
+            self._h = ctypes.c_void_p(self._lib.hostkv_create(dim, capacity_hint))
+            self._fallback = None
+        else:
+            self._h = None
+            self._fallback = {}
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.hostkv_destroy(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        if self._h is not None:
+            return int(self._lib.hostkv_size(self._h))
+        return len(self._fallback)
+
+    def upsert(self, keys: np.ndarray, rows: np.ndarray) -> None:
+        keys = np.ascontiguousarray(keys, np.int64)
+        rows = np.ascontiguousarray(rows, np.float32)
+        assert rows.shape == (keys.shape[0], self.dim)
+        if self._h is not None:
+            self._lib.hostkv_upsert(self._h, keys, rows, keys.shape[0])
+        else:
+            for k, r in zip(keys, rows):
+                self._fallback[int(k)] = r.copy()
+
+    def lookup(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(rows [n, dim] f32 — zeros on miss, found [n] bool)."""
+        keys = np.ascontiguousarray(keys, np.int64)
+        n = keys.shape[0]
+        rows = np.zeros((n, self.dim), np.float32)
+        found = np.zeros((n,), np.uint8)
+        if self._h is not None:
+            self._lib.hostkv_lookup(self._h, keys, rows, found, n)
+        else:
+            for i, k in enumerate(keys):
+                r = self._fallback.get(int(k))
+                if r is not None:
+                    rows[i] = r
+                    found[i] = 1
+        return rows, found.astype(bool)
+
+    def erase(self, keys: np.ndarray) -> None:
+        keys = np.ascontiguousarray(keys, np.int64)
+        if self._h is not None:
+            self._lib.hostkv_erase(self._h, keys, keys.shape[0])
+        else:
+            for k in keys:
+                self._fallback.pop(int(k), None)
+
+    def export(self) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(self)
+        keys = np.zeros((n,), np.int64)
+        rows = np.zeros((n, self.dim), np.float32)
+        if self._h is not None:
+            w = int(self._lib.hostkv_export(self._h, keys, rows, n))
+            return keys[:w], rows[:w]
+        for i, (k, r) in enumerate(self._fallback.items()):
+            keys[i] = k
+            rows[i] = r
+        return keys, rows
+
+
+def criteo_parse_chunk(buf: bytes, max_rows: int):
+    """Parse up to max_rows Criteo TSV lines from ``buf``.
+
+    Returns (labels f32[r], dense f32[r,13], cats int64[r,26], consumed
+    bytes) or None if the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    labels = np.zeros((max_rows,), np.float32)
+    dense = np.zeros((max_rows, 13), np.float32)
+    cats = np.zeros((max_rows, 26), np.int64)
+    consumed = _i64(0)
+    r = int(lib.criteo_parse(buf, len(buf), max_rows, labels, dense,
+                             cats.reshape(-1), ctypes.byref(consumed)))
+    return labels[:r], dense[:r], cats[:r], int(consumed.value)
