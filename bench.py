@@ -42,7 +42,10 @@ def main():
                 for n in CAT_NAMES]
     coll = fc.EmbeddingCollection(
         emb_cols, name="emb", capacity=args.capacity,
-        initializer=dr.Initializer(kind="normal", scale=0.05))
+        initializer=dr.Initializer(kind="normal", scale=0.05),
+        # static unique-width cap: Criteo id batches are heavy-tailed, the
+        # unique count stays well under a quarter of the flat width
+        max_unique=len(CAT_NAMES) * args.batch // 4)
     model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=args.emb_dim,
                      bottom_units=(512, 256), top_units=(1024, 1024, 512, 256))
     tr = Trainer(model, numeric, {"emb": coll},
@@ -57,12 +60,15 @@ def main():
     state = tr.init(jax.random.key(0), batches[0])
     for p in packed[:warm]:
         state = tr._jit_train(state, *p)
-    jax.block_until_ready(state.metrics.count)
+    # synchronize via a D2H materialization: on tunneled-TPU setups
+    # block_until_ready can return before execution finishes, so a value
+    # read that depends on every step is the only honest fence.
+    float(state.metrics.count)
 
     t0 = time.perf_counter()
     for p in packed[warm:]:
         state = tr._jit_train(state, *p)
-    jax.block_until_ready(state.metrics.count)
+    assert float(state.metrics.count) == (args.steps + warm) * args.batch
     dt = time.perf_counter() - t0
 
     eps = args.steps * args.batch / dt

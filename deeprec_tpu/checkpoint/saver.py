@@ -132,16 +132,20 @@ def _scatter_table(state, slot_state, opt, config, arrays) -> Tuple[Any, Any]:
     keys = K.from_numpy(arrays["keys"])
     index, slots, _created = ht.lookup_or_insert(state.index, keys,
                                                  config.max_probes)
-    dest = jnp.where(K.is_empty(keys), cap, slots)
+    live = ~K.is_empty(keys) & (slots != cap)
+    dest = jnp.where(live, slots, cap + 1)  # OOB -> dropped; unique
     values = state.values.at[dest].set(
-        jnp.asarray(arrays["values"], state.values.dtype), mode="drop")
-    values = values.at[cap].set(0.0)
+        jnp.asarray(arrays["values"], state.values.dtype), mode="drop",
+        unique_indices=True)
     freqs = state.freqs.at[dest].set(
-        jnp.asarray(arrays["freqs"], jnp.int32), mode="drop").at[cap].set(0)
+        jnp.asarray(arrays["freqs"], jnp.int32), mode="drop",
+        unique_indices=True)
     versions = state.versions.at[dest].set(
-        jnp.asarray(arrays["versions"], jnp.int32), mode="drop").at[cap].set(-1)
+        jnp.asarray(arrays["versions"], jnp.int32), mode="drop",
+        unique_indices=True)
     create_steps = state.create_steps.at[dest].set(
-        jnp.asarray(arrays["create_steps"], jnp.int32), mode="drop").at[cap].set(-1)
+        jnp.asarray(arrays["create_steps"], jnp.int32), mode="drop",
+        unique_indices=True)
 
     new_slot = {}
     flat = F.slot_leaf_names(slot_state)
@@ -151,7 +155,8 @@ def _scatter_table(state, slot_state, opt, config, arrays) -> Tuple[Any, Any]:
         rk, sk = f"slot__{name}", f"scalar__{name}"
         if rk in arrays:
             leaves.append(leaf.at[dest].set(
-                jnp.asarray(arrays[rk], leaf.dtype), mode="drop"))
+                jnp.asarray(arrays[rk], leaf.dtype), mode="drop",
+                unique_indices=True))
         elif sk in arrays:
             leaves.append(jnp.asarray(arrays[sk], leaf.dtype))
         else:

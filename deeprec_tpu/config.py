@@ -108,6 +108,11 @@ class EmbeddingVariableConfig:
     combiner: str = "mean"
     max_probes: int = 32
     value_dtype: str = "float32"
+    # Static cap on per-step unique keys (None = exact, width n). All
+    # sparse-path ops run at width max_unique+1; uniques beyond the cap
+    # read the null row for one step (see ops.unique). Typically n/4 for
+    # heavy-tailed id streams.
+    max_unique: Optional[int] = None
     # Multi-hash (Q-R trick) / dynamic-dim variants are separate table types
     # built on top of this config (sparse/multihash.py, sparse/dynamicdim.py).
 

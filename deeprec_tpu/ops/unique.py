@@ -21,9 +21,9 @@ from ..sparse import keys as K
 
 
 class UniqueResult(NamedTuple):
-    ukeys: K.Keys       # [n] unique keys, EMPTY-padded at the tail
+    ukeys: K.Keys       # [U] unique keys, EMPTY-padded at the tail
     inverse: jax.Array  # [n] int32: position of each input key in ukeys
-    counts: jax.Array   # [n] int32: multiplicity of each unique key (0 in padding)
+    counts: jax.Array   # [U] int32: multiplicity of each unique key (0 in padding)
     n_unique: jax.Array  # int32 scalar (EMPTY/invalid inputs excluded)
 
 
@@ -35,40 +35,80 @@ def unique_int32(idx: jax.Array):
     n = idx.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
     sidx, spos = jax.lax.sort((idx, pos), num_keys=1)
-    prev = sidx[jnp.maximum(jnp.arange(n) - 1, 0)]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    prev = sidx[jnp.maximum(iota - 1, 0)]
     first = (sidx != prev).at[0].set(True)
     uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-    inverse = jnp.zeros((n,), jnp.int32).at[spos].set(uid_sorted)
-    scatter_to = jnp.where(first, uid_sorted, n)
+    inverse = jnp.zeros((n,), jnp.int32).at[spos].set(uid_sorted,
+                                                      unique_indices=True)
+    scatter_to = jnp.where(first, uid_sorted, n + 1)  # OOB even of [n+1]
     uidx = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    uidx = uidx.at[scatter_to].set(sidx, mode="drop")
-    counts = jnp.zeros((n,), jnp.int32).at[uid_sorted].add(1)
+    uidx = uidx.at[scatter_to].set(sidx, mode="drop", unique_indices=True)
+    counts = _group_counts(scatter_to, iota, n)
     return uidx, inverse, counts
 
 
-def unique(ids: K.Keys) -> UniqueResult:
+def _group_counts(scatter_to: jax.Array, iota: jax.Array, n: int) -> jax.Array:
+    """Per-group sizes from sorted group starts — a collision-free scatter
+    of each group's first position followed by an adjacent difference
+    (groups are contiguous in the sorted order), replacing the
+    duplicate-index scatter-add that XLA serializes on TPU."""
+    starts = jnp.full((n + 1,), n, jnp.int32)
+    starts = starts.at[scatter_to].set(iota, mode="drop", unique_indices=True)
+    return starts[1:] - starts[:-1]
+
+
+def unique(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
     """Deduplicate a 1-D batch of keys. EMPTY keys group together at the
     front of the sort order and are excluded from ``n_unique``; their
     ``inverse`` entries still point at their (EMPTY) group so downstream
-    gathers of the null row remain valid."""
+    gathers of the null row remain valid.
+
+    ``max_unique`` caps the static width ``U`` of the unique set at
+    ``max_unique + 1`` (instead of ``n``), shrinking every downstream op —
+    hash probes, row gathers, optimizer scatters — by the same factor: the
+    static-shape trade the sharded exchange also makes with ``bucket_cap``.
+    Unique keys beyond the cap collapse into a dedicated EMPTY overflow
+    group at index ``max_unique``: they read the null row (zeros) and take
+    no updates this step. Size it so saturation (n_unique == max_unique)
+    stays rare; heavy-tailed id batches need ~n/4."""
     n = ids.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
     skeys, (spos,) = K.sort_with(ids, pos)
 
-    prev = skeys[jnp.maximum(jnp.arange(n) - 1, 0)]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    prev = skeys[jnp.maximum(iota - 1, 0)]
     first = ~K.eq(skeys, prev)
     first = first.at[0].set(True)
 
     uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-    inverse = jnp.zeros((n,), jnp.int32).at[spos].set(uid_sorted)
 
-    scatter_to = jnp.where(first, uid_sorted, n)
-    ukeys = K.empty_like((n,))
+    if max_unique is None or max_unique >= n:
+        u_out = n
+        inv_sorted = uid_sorted
+        keep_first = first
+        starts_to = jnp.where(first, uid_sorted, u_out + 2)
+    else:
+        u_out = max_unique + 1  # index max_unique = the overflow/null group
+        over = uid_sorted >= max_unique
+        inv_sorted = jnp.where(over, max_unique, uid_sorted)
+        keep_first = first & ~over
+        # keep the first overflow group's start too: it terminates the last
+        # kept group's extent in the adjacent difference below
+        starts_to = jnp.where(first & (uid_sorted <= max_unique),
+                              uid_sorted, u_out + 2)
+
+    inverse = jnp.zeros((n,), jnp.int32).at[spos].set(inv_sorted,
+                                                      unique_indices=True)
+    scatter_to = jnp.where(keep_first, inv_sorted, u_out + 2)  # OOB
+    ukeys = K.empty_like((u_out,))
     ukeys = K.Keys(
-        ukeys.hi.at[scatter_to].set(skeys.hi, mode="drop"),
-        ukeys.lo.at[scatter_to].set(skeys.lo, mode="drop"),
+        ukeys.hi.at[scatter_to].set(skeys.hi, mode="drop", unique_indices=True),
+        ukeys.lo.at[scatter_to].set(skeys.lo, mode="drop", unique_indices=True),
     )
-    counts = jnp.zeros((n,), jnp.int32).at[uid_sorted].add(1)
+    starts = jnp.full((u_out + 1,), n, jnp.int32)
+    starts = starts.at[starts_to].set(iota, mode="drop", unique_indices=True)
+    counts = starts[1:] - starts[:-1]
     valid_group = ~K.is_empty(ukeys)
     counts = counts * valid_group.astype(jnp.int32)
     n_unique = jnp.sum(valid_group.astype(jnp.int32))

@@ -52,7 +52,10 @@ def _dest(slots: jax.Array, mask: jax.Array, nrows: int) -> jax.Array:
 
 
 def _scatter_set(arr: jax.Array, dest: jax.Array, rows: jax.Array) -> jax.Array:
-    return arr.at[dest].set(rows.astype(arr.dtype), mode="drop")
+    # dest is unique by construction (deduped admitted slots; masked rows
+    # out of bounds) -> XLA's parallel scatter, ~50x the serial fallback
+    return arr.at[dest].set(rows.astype(arr.dtype), mode="drop",
+                            unique_indices=True)
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,7 @@ def exchange_lookup_or_create(
     ``n_dropped``) — size it at ~2x the expected uniques/shard.
     """
     S = jax.lax.axis_size(axis)
-    uniq = unique(flat_ids)
+    uniq = unique(flat_ids, coll.config.max_unique)
     U = uniq.ukeys.shape[0]
     owner = _owner_of(uniq.ukeys, S)
 
@@ -100,8 +100,8 @@ def exchange_lookup_or_create(
     dest = jnp.where(routed, owner * bucket_cap + pos, S * bucket_cap)
     send = K.empty_like((S * bucket_cap,))
     send = K.Keys(
-        send.hi.at[dest].set(uniq.ukeys.hi, mode="drop"),
-        send.lo.at[dest].set(uniq.ukeys.lo, mode="drop"),
+        send.hi.at[dest].set(uniq.ukeys.hi, mode="drop", unique_indices=True),
+        send.lo.at[dest].set(uniq.ukeys.lo, mode="drop", unique_indices=True),
     )
     # all_to_all the id buckets (both planes)
     recv_hi = jax.lax.all_to_all(send.hi.reshape(S, bucket_cap), axis, 0, 0, tiled=False)
@@ -110,7 +110,7 @@ def exchange_lookup_or_create(
 
     # owner side: dedup (the same key may arrive from several requesters),
     # then the ordinary local lookup-or-create with filters/metadata.
-    recv_uniq = unique(recv_keys)
+    recv_uniq = unique(recv_keys, coll.config.max_unique)
     state, recv_aux = _ev_lookup_unique(state, coll, recv_uniq, step)
 
     return state, ShardedAux(
@@ -192,7 +192,7 @@ def exchange_lookup_readonly(
     their deterministic would-be init row. Returns (rows_flat, valid_flat)
     in local flat layout."""
     S = jax.lax.axis_size(axis)
-    uniq = unique(flat_ids)
+    uniq = unique(flat_ids, coll.config.max_unique)
     U = uniq.ukeys.shape[0]
     owner = _owner_of(uniq.ukeys, S)
     iota = jnp.arange(U, dtype=jnp.int32)
@@ -205,8 +205,8 @@ def exchange_lookup_readonly(
     dest = jnp.where(routed, owner * bucket_cap + pos, S * bucket_cap)
     send = K.empty_like((S * bucket_cap,))
     send = K.Keys(
-        send.hi.at[dest].set(uniq.ukeys.hi, mode="drop"),
-        send.lo.at[dest].set(uniq.ukeys.lo, mode="drop"),
+        send.hi.at[dest].set(uniq.ukeys.hi, mode="drop", unique_indices=True),
+        send.lo.at[dest].set(uniq.ukeys.lo, mode="drop", unique_indices=True),
     )
     recv_hi = jax.lax.all_to_all(send.hi.reshape(S, bucket_cap), axis, 0, 0)
     recv_lo = jax.lax.all_to_all(send.lo.reshape(S, bucket_cap), axis, 0, 0)

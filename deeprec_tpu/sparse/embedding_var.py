@@ -154,7 +154,8 @@ def lookup_or_create(
     EmbeddingFilter::LookupOrCreate (embedding_filter.h:56-88), expressed as
     batched vector ops instead of a per-key sharded loop.
     """
-    return lookup_or_create_unique(state, config, unique(ids), global_step)
+    return lookup_or_create_unique(state, config,
+                                   unique(ids, config.max_unique), global_step)
 
 
 def lookup_or_create_unique(
@@ -182,16 +183,22 @@ def lookup_or_create_unique(
 
     index, slots, created = ht.lookup_or_insert(state.index, gated, config.max_probes)
 
-    # Initialise created rows (and stamp creation step).
-    dest = jnp.where(created, slots, cap)
+    # Initialise created rows (and stamp creation step). All scatter
+    # destinations below are unique: live unique keys own distinct slots,
+    # everything else is routed to cap+1 (out of bounds -> dropped).
+    # unique_indices=True selects XLA's parallel scatter path.
+    dest = jnp.where(created, slots, cap + 1)
     rows0 = init_rows(config, ukeys)
-    values = state.values.at[dest].set(rows0.astype(state.values.dtype), mode="drop")
-    create_steps = state.create_steps.at[dest].set(gs, mode="drop")
+    values = state.values.at[dest].set(rows0.astype(state.values.dtype),
+                                       mode="drop", unique_indices=True)
+    create_steps = state.create_steps.at[dest].set(gs, mode="drop",
+                                                   unique_indices=True)
 
-    # freq/version bookkeeping for every present key (null row absorbs the
-    # padding; it is reset below).
-    freqs = state.freqs.at[slots].add(counts, mode="drop")
-    versions = state.versions.at[jnp.where(counts > 0, slots, cap)].set(gs, mode="drop")
+    # freq/version bookkeeping for every live unique key
+    live = (counts > 0) & (slots != cap)
+    mdest = jnp.where(live, slots, cap + 1)
+    freqs = state.freqs.at[mdest].add(counts, mode="drop", unique_indices=True)
+    versions = state.versions.at[mdest].set(gs, mode="drop", unique_indices=True)
 
     # Keep the null row pristine.
     values = values.at[cap].set(0.0)
@@ -293,9 +300,11 @@ def shrink(
 
 def permute_rows(rows: jax.Array, old_to_new: jax.Array, new_cap: int, fill=0) -> jax.Array:
     """Move per-slot rows through a rebuild permutation. ``rows`` is
-    [old_cap+1, ...]; result is [new_cap+1, ...]."""
+    [old_cap+1, ...]; result is [new_cap+1, ...]. Dropped slots map to
+    new_cap+1 in ``old_to_new`` (see hashtable.rebuild) so the scatter is
+    collision-free."""
     out = jnp.full((new_cap + 1,) + rows.shape[1:], fill, rows.dtype)
-    return out.at[old_to_new].set(rows[:-1], mode="drop")
+    return out.at[old_to_new].set(rows[:-1], mode="drop", unique_indices=True)
 
 
 def grow(state: EVState, config: EmbeddingVariableConfig, new_capacity: int) -> Tuple[EVState, jax.Array]:
@@ -357,15 +366,16 @@ def import_snapshot(
     state = create(config)
     index, slots, _created = ht.lookup_or_insert(state.index, keys, config.max_probes)
     cap = state.capacity
-    dest = jnp.where(~K.is_empty(keys), slots, cap)
-    vals = state.values.at[dest].set(values.astype(state.values.dtype), mode="drop")
-    vals = vals.at[cap].set(0.0)
+    live = ~K.is_empty(keys) & (slots != cap)
+    dest = jnp.where(live, slots, cap + 1)  # OOB -> dropped; unique
+    vals = state.values.at[dest].set(values.astype(state.values.dtype),
+                                     mode="drop", unique_indices=True)
     cs = create_steps if create_steps is not None else versions
     return EVState(
         index=index,
         values=vals,
-        freqs=state.freqs.at[dest].set(freqs, mode="drop").at[cap].set(0),
-        versions=state.versions.at[dest].set(versions, mode="drop").at[cap].set(-1),
-        create_steps=state.create_steps.at[dest].set(cs, mode="drop").at[cap].set(-1),
+        freqs=state.freqs.at[dest].set(freqs, mode="drop", unique_indices=True),
+        versions=state.versions.at[dest].set(versions, mode="drop", unique_indices=True),
+        create_steps=state.create_steps.at[dest].set(cs, mode="drop", unique_indices=True),
         cbf=state.cbf,
     )

@@ -6,21 +6,29 @@ This is the TPU-native replacement for DeepRec's CPU hash maps behind
 pointer-chasing host map, the index lives in HBM as flat int32 planes and all
 operations are batched, vectorized XLA ops with static shapes:
 
-* **lookup** — open addressing with double hashing (odd stride, full-cycle
-  on the pow2 capacity), vectorized over the whole batch; a ``fori_loop``
-  over probe offsets (bounded by ``max_probes``).
-* **insert** — a parallel-claim algorithm: each round, every pending key
-  proposes its current probe slot; contenders for the same empty slot are
-  arbitrated with a scatter-min of their rank; winners write their key,
-  losers (and keys whose candidate was occupied) advance to the next offset.
-  This replaces the reference's lockless CPU insert (lockless_hash_map.h)
-  with an O(rounds) data-parallel schedule that XLA maps onto the VPU.
+* **lookup** — bucketed open addressing: slots are grouped into windows of
+  ``WINDOW`` consecutive slots; one probe gathers a key's whole bucket (a
+  contiguous 2-D row — one vector load instead of WINDOW scalar gathers)
+  and matches all of it on the VPU. Bucket-to-bucket stepping uses double
+  hashing (odd stride, full-cycle on the pow2 bucket count). A
+  ``while_loop`` exits as soon as every key resolves — at sane load
+  factors that is the first probe, so a lookup costs ~2 row gathers.
+* **insert** — a parallel-claim algorithm at bucket granularity: each
+  round, every pending key proposes the first empty slot of its current
+  bucket; contenders for the same slot are arbitrated with a scatter-min
+  of their rank; winners write their key, losers retry (same bucket if it
+  may still have room, else the next bucket). This replaces the
+  reference's lockless CPU insert (lockless_hash_map.h) with an O(rounds)
+  data-parallel schedule, where rounds ≈ max bucket contention, not probe
+  length.
 
 Invariants:
-  * capacity is a power of two; home slot = hash(key) & (cap-1).
-  * every stored key lives within ``max_probes`` slots of its home (inserts
-    that cannot place within the bound report overflow instead), so lookup's
-    static probe bound is exact, not heuristic.
+  * capacity is a power of two; home bucket = hash(key) & (n_buckets-1).
+  * inserts always fill the earliest bucket (in probe order) that has an
+    empty slot, so "bucket with an empty slot and no match" proves
+    absence during lookup, and every stored key lives within
+    ``max_probes`` buckets of its home (failed inserts report overflow) —
+    the probe bound is exact, not heuristic.
   * the all-ones key (int64 -1) is the EMPTY sentinel and cannot be stored
     (DeepRec likewise reserves -1 as the EV invalid key).
   * no tombstones: deletion happens only via :func:`rebuild` (eviction runs
@@ -43,6 +51,11 @@ import numpy as np
 from . import keys as K
 
 INT32_MAX = np.int32(2**31 - 1)
+
+# Slots per bucket. One probe gathers a whole bucket row; 16 int32 lanes
+# per plane keeps the gather a cheap contiguous row load while making a
+# full bucket (the only reason to probe again) rare below ~0.85 load.
+WINDOW = 16
 
 
 class HashTable(NamedTuple):
@@ -74,15 +87,19 @@ def create(capacity: int) -> HashTable:
     )
 
 
-def _home(keys: K.Keys, cap: int) -> jax.Array:
-    return (K.hash32(keys) & np.uint32(cap - 1)).astype(jnp.int32)
+def _window(cap: int) -> int:
+    return min(WINDOW, cap)
 
 
-def _step(keys: K.Keys, cap: int) -> jax.Array:
-    """Double-hashing stride: odd (hence coprime with the pow2 capacity, so
-    the probe sequence is a full cycle). Keeps the probe-length tail
-    exponential instead of linear-probing's clustered tail."""
-    return ((K.hash32(keys, seed=7) | np.uint32(1)) & np.uint32(cap - 1)).astype(jnp.int32)
+def _home_bucket(keys: K.Keys, n_buckets: int) -> jax.Array:
+    return (K.hash32(keys) & np.uint32(n_buckets - 1)).astype(jnp.int32)
+
+
+def _bucket_step(keys: K.Keys, n_buckets: int) -> jax.Array:
+    """Double-hashing bucket stride: odd (hence coprime with the pow2
+    bucket count, so the probe sequence is a full cycle)."""
+    return ((K.hash32(keys, seed=7) | np.uint32(1))
+            & np.uint32(n_buckets - 1)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_probes",))
@@ -93,29 +110,42 @@ def lookup(table: HashTable, keys: K.Keys, max_probes: int = 32) -> Tuple[jax.Ar
     not found. EMPTY-sentinel keys are never found.
     """
     cap = table.capacity
-    mask = np.int32(cap - 1)
-    home = _home(keys, cap)
-    step = _step(keys, cap)
+    W = _window(cap)
+    nb = cap // W
+    bmask = np.int32(nb - 1)
+    hi2d = table.key_hi.reshape(nb, W)
+    lo2d = table.key_lo.reshape(nb, W)
+    home = _home_bucket(keys, nb)
+    step = _bucket_step(keys, nb)
     invalid = K.is_empty(keys)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (keys.shape[0], W), 1)
 
     slots0 = jnp.full(keys.shape, cap, jnp.int32)
     found0 = jnp.zeros(keys.shape, jnp.bool_)
-    done0 = invalid
 
-    def body(i, carry):
-        slots, found, done = carry
-        idx = (home + i * step) & mask
-        s_hi = table.key_hi[idx]
-        s_lo = table.key_lo[idx]
-        stored = K.Keys(s_hi, s_lo)
-        match = K.eq(stored, keys) & ~done
-        empty = K.is_empty(stored) & ~done
-        slots = jnp.where(match, idx, slots)
-        found = found | match
-        done = done | match | empty
-        return slots, found, done
+    def cond(carry):
+        i, _, _, done = carry
+        return (i < max_probes) & ~done.all()
 
-    slots, found, _ = jax.lax.fori_loop(0, max_probes, body, (slots0, found0, done0))
+    def body(carry):
+        i, slots, found, done = carry
+        b = (home + i * step) & bmask
+        hw = hi2d[b]                       # [n, W] one row gather per plane
+        lw = lo2d[b]
+        match = (hw == keys.hi[:, None]) & (lw == keys.lo[:, None]) & ~done[:, None]
+        empty = (hw == K.EMPTY_HI) & (lw == K.EMPTY_LO)
+        hit = match.any(-1)
+        # first matching lane (at most one — keys are stored once)
+        lane_idx = jnp.min(jnp.where(match, lane, W), axis=-1)
+        slots = jnp.where(hit, b * W + lane_idx, slots)
+        found = found | hit
+        # a bucket with an empty slot ends the probe sequence (insert-order
+        # invariant: earlier buckets fill first)
+        done = done | hit | empty.any(-1)
+        return i + 1, slots, found, done
+
+    _, slots, found, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), slots0, found0, invalid))
     return slots, found
 
 
@@ -132,50 +162,67 @@ def lookup_or_insert(
     a fresh slot this call (their rows must be initialised by the caller).
     """
     cap = table.capacity
-    mask = np.int32(cap - 1)
+    W = _window(cap)
+    nb = cap // W
+    bmask = np.int32(nb - 1)
     n = ukeys.shape[0]
 
     slots, found = lookup(table, ukeys, max_probes)
     invalid = K.is_empty(ukeys)
     pending = ~found & ~invalid
 
-    home = _home(ukeys, cap)
-    step = _step(ukeys, cap)
+    home = _home_bucket(ukeys, nb)
+    step = _bucket_step(ukeys, nb)
     rank = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
 
-    key_hi, key_lo = table.key_hi, table.key_lo
-    off = jnp.zeros((n,), jnp.int32)
+    def cond(carry):
+        rounds, key_hi, key_lo, pending, off, slots = carry
+        # each key probes at most max_probes buckets; contention within a
+        # bucket retries the same offset, bounded by W extra rounds
+        return pending.any() & (rounds < max_probes + W)
 
-    def round_body(_, carry):
-        key_hi, key_lo, pending, off, slots = carry
-        idx = (home + off * step) & mask
-        stored = K.Keys(key_hi[idx], key_lo[idx])
-        empty = K.is_empty(stored)
-        # Already present? (another duplicate across calls can't happen —
-        # keys are deduped — but a pending key can discover itself if a
-        # previous round stored it; keep the check for safety.)
-        match = K.eq(stored, ukeys)
-        slots = jnp.where(pending & match, idx, slots)
-        pending = pending & ~match
+    def body(carry):
+        rounds, key_hi, key_lo, pending, off, slots = carry
+        b = (home + off * step) & bmask
+        hw = key_hi.reshape(nb, W)[b]
+        lw = key_lo.reshape(nb, W)[b]
+        match = (hw == ukeys.hi[:, None]) & (lw == ukeys.lo[:, None])
+        empty = (hw == K.EMPTY_HI) & (lw == K.EMPTY_LO)
+        # a pending key can discover itself if a previous round stored it
+        hit = match.any(-1) & pending
+        lane_m = jnp.min(jnp.where(match, lane, W), axis=-1)
+        slots = jnp.where(hit, b * W + lane_m, slots)
+        pending = pending & ~hit
 
-        # Arbitrate empty-slot claims by scatter-min of rank.
-        want = pending & empty
-        claim_idx = jnp.where(want, idx, cap)  # losers scatter out of range
+        # claim the first empty lane of the bucket
+        has_empty = empty.any(-1)
+        lane_e = jnp.min(jnp.where(empty, lane, W), axis=-1)
+        want = pending & has_empty
+        target = b * W + jnp.where(has_empty, lane_e, 0)
+        claim_idx = jnp.where(want, target, cap)  # losers scatter OOB
         arb = jnp.full((cap + 1,), INT32_MAX, jnp.int32)
         arb = arb.at[claim_idx].min(rank, mode="drop")
-        win = want & (arb[idx] == rank)
+        win = want & (arb[target] == rank)
 
-        widx = jnp.where(win, idx, cap)
-        key_hi = key_hi.at[widx].set(ukeys.hi, mode="drop")
-        key_lo = key_lo.at[widx].set(ukeys.lo, mode="drop")
-        slots = jnp.where(win, idx, slots)
+        # winners target distinct slots (the arbitration guarantees it) and
+        # losers index out of bounds -> dropped; unique_indices unlocks
+        # XLA's parallel scatter (the serial fallback is ~50x slower on TPU)
+        widx = jnp.where(win, target, cap)
+        key_hi = key_hi.at[widx].set(ukeys.hi, mode="drop", unique_indices=True)
+        key_lo = key_lo.at[widx].set(ukeys.lo, mode="drop", unique_indices=True)
+        slots = jnp.where(win, target, slots)
         pending = pending & ~win
-        off = jnp.where(pending, off + 1, off)
-        return key_hi, key_lo, pending, off, slots
+        # losers of a bucket with an empty lane retry the SAME bucket (the
+        # lane may be taken, but the next empty lane is available next
+        # round); keys whose bucket was full advance
+        off = jnp.where(pending & ~has_empty, off + 1, off)
+        return rounds + 1, key_hi, key_lo, pending, off, slots
 
-    key_hi, key_lo, pending, off, slots = jax.lax.fori_loop(
-        0, max_probes, round_body, (key_hi, key_lo, pending, off, slots)
-    )
+    _, key_hi, key_lo, pending, off, slots = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), table.key_hi, table.key_lo, pending,
+         jnp.zeros((n,), jnp.int32), slots))
 
     created = (slots != cap) & ~found & ~invalid
     n_failed = jnp.sum(pending).astype(jnp.int32)
@@ -199,10 +246,10 @@ def rebuild(table: HashTable, keep: jax.Array, new_capacity: int | None = None,
 
     Deletion/growth primitive (eviction at checkpoint time; capacity growth
     between steps). Returns ``(new_table, old_to_new)`` where ``old_to_new``
-    maps old slot -> new slot (or new_capacity for dropped/empty slots) so
-    callers can permute their row stores:
+    maps old slot -> new slot; dropped/empty slots map to ``new_capacity+1``
+    (out of bounds even of the [new_cap+1] row stores, so a mode='drop'
+    scatter skips them and the null row stays pristine):
 
-        new_rows = old_rows[reverse_permutation]  via
         new_rows = jnp.zeros(...).at[old_to_new].set(old_rows, mode='drop')
     """
     cap = table.capacity
@@ -211,5 +258,5 @@ def rebuild(table: HashTable, keep: jax.Array, new_capacity: int | None = None,
     kkeys = K.where(live, table.stored_keys, K.empty_like((cap,)))
     fresh = create(new_cap)
     fresh, new_slots, _ = lookup_or_insert(fresh, kkeys, max_probes)
-    old_to_new = jnp.where(live, new_slots, new_cap)
+    old_to_new = jnp.where(live, new_slots, new_cap + 1)
     return fresh, old_to_new

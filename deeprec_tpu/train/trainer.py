@@ -283,7 +283,7 @@ def _readonly_lookup(coll: EmbeddingCollection, state: ev.EVState, cats):
         flat = cats.reshape(-1) if len(cats.shape) > 1 else cats
     else:
         flat, _ = coll._flatten_ids(cats)
-    uniq = unique(flat)
+    uniq = unique(flat, coll.config.max_unique)
     slots, found = ht.lookup(state.index, uniq.ukeys, coll.config.max_probes)
     aux = CollectionAux(ev_aux=ev.LookupAux(
         uniq=uniq, slots=slots,
