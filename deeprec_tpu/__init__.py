@@ -9,5 +9,11 @@ from .config import (CBFFilter, CounterFilter, EmbeddingVariableConfig,
                      GlobalStepEvict, Initializer, L2WeightEvict,
                      StorageOption, StorageType)
 from .sparse import embedding_var, hashtable, keys
+from .api import (categorical_column_with_adaptive_embedding,
+                  categorical_column_with_embedding,
+                  categorical_column_with_hash_bucket, embedding_column,
+                  get_dynamic_dimension_embedding_variable,
+                  get_embedding_variable, get_hash_table,
+                  get_multihash_variable, shared_embedding_columns)
 
 __version__ = "0.1.0"
