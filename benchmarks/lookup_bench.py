@@ -1,0 +1,77 @@
+"""Embedding-lookup microbenchmark (the modelzoo/features/pmem
+benchmark.py analog): measures lookup-or-create and pure-gather
+throughput of one table shard on the local chip, against the HBM
+roofline.
+
+Prints one JSON line per phase. Run on TPU:
+    python benchmarks/lookup_bench.py --batch 131072 --dim 16
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=131072, help="flat ids/step")
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--capacity", type=int, default=1 << 21)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--zipf", type=float, default=1.2)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import deeprec_tpu as dr
+    from deeprec_tpu.sparse import embedding_var as ev
+    from deeprec_tpu.sparse import keys as K
+
+    rng = np.random.default_rng(0)
+    cfg = dr.EmbeddingVariableConfig(
+        name="bench", embedding_dim=args.dim, capacity=args.capacity,
+        max_unique=args.batch // 4)
+    st = ev.create(cfg)
+
+    batches = [K.from_numpy((rng.zipf(args.zipf, size=args.batch)
+                             % (args.capacity // 2)).astype(np.int64))
+               for _ in range(args.steps)]
+
+    step_fn = jax.jit(lambda s, i: ev.lookup_or_create(s, cfg, i, jnp.int32(0)))
+    st, aux = step_fn(st, batches[0])
+    float(aux.slots.sum())
+    t0 = time.perf_counter()
+    for b in batches[1:]:
+        st, aux = step_fn(st, b)
+    float(aux.slots.sum())
+    dt = (time.perf_counter() - t0) / (args.steps - 1)
+    print(json.dumps({
+        "metric": "lookup_or_create_ids_per_sec", "value": round(args.batch / dt),
+        "unit": "ids/s", "ms_per_step": round(dt * 1e3, 2)}))
+
+    # pure gather bandwidth over the unique slots
+    u = args.batch // 4 + 1
+    slots = jnp.asarray(rng.integers(0, args.capacity, size=u), jnp.int32)
+    g = jax.jit(lambda v, s: v[s].sum())
+    float(g(st.values, slots))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        r = g(st.values, slots)
+    float(r)
+    dt = (time.perf_counter() - t0) / 20
+    gbs = u * args.dim * 4 / dt / 1e9
+    print(json.dumps({
+        "metric": "row_gather_bandwidth", "value": round(gbs, 2), "unit": "GB/s",
+        "rows_per_sec": round(u / dt),
+        "note": "random 64B-row reads; issue-bound, see ops/pallas_gather.py"}))
+
+
+if __name__ == "__main__":
+    main()
