@@ -159,6 +159,18 @@ class EmbeddingCollection:
         device as TWO int32 arrays. This is the host hot path — one packed
         transfer instead of one per column (the eager per-column path costs
         ~50x more in dispatch/transfer overhead)."""
+        flat = self.pack_ids_np(batch)
+        lo = (flat & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+        hi = (flat >> np.int64(32)).astype(np.int32)
+        # kept 2-D [total_width, B] so a data-parallel step can shard the
+        # batch axis; consumers flatten feature-major (matching the
+        # _flatten_ids layout).
+        return K.Keys(jnp.asarray(hi), jnp.asarray(lo))
+
+    def pack_ids_np(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """The numpy stage of :meth:`pack_ids`: int64 [total_width, B] with
+        salting/bucketing applied (host consumers — e.g. the host-DRAM tier
+        probe — reuse this without a device round-trip)."""
         blocks = []
         for ci, col in enumerate(self.columns):
             cc = col.categorical
@@ -176,13 +188,7 @@ class EmbeddingCollection:
                 c2 = np.int64((si * 0x85EBCA77) & 0x7FFFFFFF)
                 ids = np.where(empty, ids, ids ^ c1 ^ c2)
             blocks.append(ids.T)  # [w, B]
-        flat = np.concatenate(blocks, axis=0)  # [total_width, B]
-        lo = (flat & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
-        hi = (flat >> np.int64(32)).astype(np.int32)
-        # kept 2-D [total_width, B] so a data-parallel step can shard the
-        # batch axis; consumers flatten feature-major (matching the
-        # _flatten_ids layout).
-        return K.Keys(jnp.asarray(hi), jnp.asarray(lo))
+        return np.concatenate(blocks, axis=0)  # [total_width, B]
 
     # -- forward -------------------------------------------------------
     def _flatten_ids(self, batch: Dict[str, jax.Array]) -> Tuple[K.Keys, int]:
