@@ -167,9 +167,12 @@ def lookup_or_insert(
     bmask = np.int32(nb - 1)
     n = ukeys.shape[0]
 
-    slots, found = lookup(table, ukeys, max_probes)
+    # no separate lookup pre-pass: the claim loop itself discovers matches
+    # (round 0 resolves present keys), halving the probe gathers
     invalid = K.is_empty(ukeys)
-    pending = ~found & ~invalid
+    pending = ~invalid
+    slots = jnp.full((n,), cap, jnp.int32)
+    found = jnp.zeros((n,), jnp.bool_)
 
     home = _home_bucket(ukeys, nb)
     step = _bucket_step(ukeys, nb)
@@ -177,22 +180,24 @@ def lookup_or_insert(
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
 
     def cond(carry):
-        rounds, key_hi, key_lo, pending, off, slots = carry
+        rounds, key_hi, key_lo, pending, off, slots, found = carry
         # each key probes at most max_probes buckets; contention within a
         # bucket retries the same offset, bounded by W extra rounds
         return pending.any() & (rounds < max_probes + W)
 
     def body(carry):
-        rounds, key_hi, key_lo, pending, off, slots = carry
+        rounds, key_hi, key_lo, pending, off, slots, found = carry
         b = (home + off * step) & bmask
         hw = key_hi.reshape(nb, W)[b]
         lw = key_lo.reshape(nb, W)[b]
         match = (hw == ukeys.hi[:, None]) & (lw == ukeys.lo[:, None])
         empty = (hw == K.EMPTY_HI) & (lw == K.EMPTY_LO)
-        # a pending key can discover itself if a previous round stored it
+        # a hit can only be a pre-existing key: keys are deduplicated, and a
+        # claim resolves its key immediately, so nothing re-finds itself
         hit = match.any(-1) & pending
         lane_m = jnp.min(jnp.where(match, lane, W), axis=-1)
         slots = jnp.where(hit, b * W + lane_m, slots)
+        found = found | hit
         pending = pending & ~hit
 
         # claim the first empty lane of the bucket
@@ -217,12 +222,12 @@ def lookup_or_insert(
         # lane may be taken, but the next empty lane is available next
         # round); keys whose bucket was full advance
         off = jnp.where(pending & ~has_empty, off + 1, off)
-        return rounds + 1, key_hi, key_lo, pending, off, slots
+        return rounds + 1, key_hi, key_lo, pending, off, slots, found
 
-    _, key_hi, key_lo, pending, off, slots = jax.lax.while_loop(
+    _, key_hi, key_lo, pending, off, slots, found = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((), jnp.int32), table.key_hi, table.key_lo, pending,
-         jnp.zeros((n,), jnp.int32), slots))
+         jnp.zeros((n,), jnp.int32), slots, found))
 
     created = (slots != cap) & ~found & ~invalid
     n_failed = jnp.sum(pending).astype(jnp.int32)
