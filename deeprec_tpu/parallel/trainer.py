@@ -169,12 +169,28 @@ class ShardedTrainer:
 
     # -- batch plumbing -------------------------------------------------------
     def prepare_batch(self, batch):
+        """Pack a (process-local) raw batch. On multi-host runs each
+        process passes its own batch shard; the shards are assembled into
+        global arrays with the step's input sharding (multihost.globalize).
+        """
         from ..feature_column import pack_dense
-        dense = (jnp.asarray(pack_dense(self.numeric_columns, batch))
-                 if self.numeric_columns else None)
-        cats = {name: coll.pack_ids(batch)
-                for name, coll in self.collections.items()}
-        labels = jnp.asarray(batch["label"], jnp.float32) if "label" in batch else None
+        from .multihost import globalize
+        from jax.sharding import PartitionSpec as P
+        axis = self.axis
+        dense = None
+        if self.numeric_columns:
+            dense = globalize(self.mesh, P(axis, None),
+                              pack_dense(self.numeric_columns, batch))
+        cats = {}
+        for name, coll in self.collections.items():
+            flat = coll.pack_ids_np(batch)
+            lo = (flat & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+            hi = (flat >> np.int64(32)).astype(np.int32)
+            cats[name] = K.Keys(globalize(self.mesh, P(None, axis), hi),
+                                globalize(self.mesh, P(None, axis), lo))
+        labels = (globalize(self.mesh, P(axis),
+                            np.asarray(batch["label"], np.float32))
+                  if "label" in batch else None)
         return dense, cats, labels
 
     def _bucket_cap(self, n_flat_local: int) -> int:
