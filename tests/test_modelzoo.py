@@ -1,0 +1,57 @@
+"""Modelzoo smoke: every trainer builds, runs steps, and evaluates via the
+shared CLI (the cibuild/model-test.sh analog)."""
+import importlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+from deeprec_tpu.train import cli
+
+MODELS = ["WDL", "DLRM", "DCN", "DeepFM", "DSSM", "DIN", "DIEN"]
+
+
+@pytest.mark.parametrize("name", MODELS)
+def test_model_trains_two_steps(name):
+    mod = importlib.import_module(f"modelzoo.{name}.train")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "2", "--batch_size", "32", "--eval_steps", "1",
+        "--capacity", "1024", "--emb_dim", "4", "--log_steps", "100",
+        "--synthetic", "--synthetic_items", "500", "--synthetic_users", "50",
+        "--prefetch_depth", "1", "--prefetch_workers", "1",
+    ])
+    # shrink towers for CPU-test speed
+    spec = mod.build(args)
+    out = cli.run(spec, args)
+    assert out["steps"] == 2
+    assert 0.0 < out["train_loss"] < 10.0
+    assert out["model"] == name
+
+
+def test_micro_batch_flag():
+    mod = importlib.import_module("modelzoo.DLRM.train")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "2", "--batch_size", "32", "--eval_steps", "1",
+        "--capacity", "1024", "--emb_dim", "4", "--micro_batch", "2",
+        "--synthetic", "--prefetch_depth", "1", "--prefetch_workers", "1",
+        "--log_steps", "100",
+    ])
+    out = cli.run(mod.build(args), args)
+    assert out["steps"] == 2
+
+
+def test_checkpoint_flag_roundtrip(tmp_path):
+    mod = importlib.import_module("modelzoo.DCN.train")
+    base = ["--steps", "2", "--batch_size", "32", "--eval_steps", "1",
+            "--capacity", "1024", "--emb_dim", "4", "--synthetic",
+            "--prefetch_depth", "1", "--prefetch_workers", "1",
+            "--log_steps", "100", "--checkpoint", str(tmp_path)]
+    args = cli.base_parser("t").parse_args(base)
+    out1 = cli.run(mod.build(args), args)
+    # second run restores and continues
+    args2 = cli.base_parser("t").parse_args(base)
+    out2 = cli.run(mod.build(args2), args2)
+    assert out2["steps"] == out1["steps"] + 2
