@@ -73,6 +73,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="WorkQueue dir for elastic file sharding")
     p.add_argument("--profile", default="",
                    help="jax.profiler trace dir (timeline analog)")
+    p.add_argument("--summary_dir", default="",
+                   help="JSONL summary/event dir (tf.summary analog)")
     p.add_argument("--log_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic", action="store_true",
@@ -150,6 +152,10 @@ def run(spec: ModelSpec, args) -> dict:
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
+    writer = None
+    if args.summary_dir:
+        from .summary import SummaryWriter
+        writer = SummaryWriter(args.summary_dir)
 
     t0 = time.perf_counter()
     done = 0
@@ -163,9 +169,12 @@ def run(spec: ModelSpec, args) -> dict:
             if done % args.log_steps == 0:
                 m = M.summarize(state.metrics)
                 dt = time.perf_counter() - t0
+                eps = done * args.batch_size / dt
                 print(f"step {int(state.step)}  loss={m['loss']:.5f}  "
                       f"auc={m['auc']:.4f}  "
-                      f"({done * args.batch_size / dt:.0f} ex/s)")
+                      f"({eps:.0f} ex/s)")
+                if writer:
+                    writer.write(int(state.step), m, examples_per_sec=eps)
             if mgr is not None:
                 mgr.maybe_save(tr, state)
     jax.block_until_ready(state.step)
@@ -196,6 +205,9 @@ def run(spec: ModelSpec, args) -> dict:
         "eval_accuracy": round(eval_m["accuracy"], 5),
         "examples_per_sec": round(done * args.batch_size / max(train_secs, 1e-9), 1),
     }
+    if writer:
+        writer.write(int(state.step), eval_m, phase="eval")
+        writer.close()
     print(json.dumps(out))
     return out
 
