@@ -67,6 +67,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--incr_save_secs", type=float, default=None)
     p.add_argument("--ev_filter_freq", type=int, default=0)
     p.add_argument("--ev_evict_steps", type=int, default=0)
+    p.add_argument("--max_unique_ratio", type=float, default=0.25,
+                   help="static dedup-width cap as a fraction of the flat "
+                        "id width (0 = exact dedup; see ops/unique.py)")
     p.add_argument("--data_location", default="",
                    help="Criteo-format file; empty = synthetic stream")
     p.add_argument("--workqueue", default="",
@@ -125,6 +128,18 @@ def run(spec: ModelSpec, args) -> dict:
     from ..parallel.trainer import ShardedTrainer, make_mesh
     from ..train import metrics as M
     from ..train.trainer import Trainer
+
+    # static dedup-width cap: the whole sparse path runs at unique-width
+    # (per-device width on a mesh) instead of flat width — a large
+    # throughput lever on heavy-tailed id streams
+    if args.max_unique_ratio > 0:
+        import dataclasses
+        shards = max(args.mesh, 1)
+        for coll in spec.collections.values():
+            if coll.config.max_unique is None:
+                local_flat = coll.total_width * args.batch_size // shards
+                mu = max(256, int(local_flat * args.max_unique_ratio))
+                coll.config = dataclasses.replace(coll.config, max_unique=mu)
 
     common = dict(
         model=spec.model, numeric_columns=spec.numeric_columns,
