@@ -51,5 +51,7 @@ def build(args) -> cli.ModelSpec:
 
 
 if __name__ == "__main__":
-    args = cli.base_parser("DIEN on behaviour data").parse_args()
+    p = cli.base_parser("DIEN on behaviour data")
+    p.set_defaults(optimizer="adam", learning_rate=0.002)
+    args = p.parse_args()
     cli.run(build(args), args)
