@@ -234,6 +234,15 @@ class CheckpointManager:
         tables = {}
         for name, coll in trainer.collections.items():
             b = state.tables[name]
+            if not isinstance(b.ev, ev.EVState):
+                # variant tables without a hash index (multi-hash etc.):
+                # fixed-size dense state, saved whole every time
+                arrays = {"__dense__": np.asarray(1, np.int32)}
+                for i, leaf in enumerate(jax.tree_util.tree_leaves(
+                        (b.ev, b.slot))):
+                    arrays[f"leaf__{i:04d}"] = np.asarray(leaf)
+                tables[name] = arrays
+                continue
             tables[name] = table_snapshot_host(
                 coll.config, b.ev, b.slot, num_shards=S, since_step=since,
                 evict=evict, global_step=gs)
@@ -247,7 +256,8 @@ class CheckpointManager:
         path = os.path.join(self.directory, F.step_dirname("full", step))
         F.write_save(path, {
             "kind": "full", "step": step,
-            "tables": {n: int(t["keys"].shape[0]) for n, t in tables.items()},
+            "tables": {n: int(t["keys"].shape[0]) if "keys" in t else -1
+                       for n, t in tables.items()},
         }, dense, tables)
         self._last_save_step = step
         self._last_full_time = time.time()
@@ -263,7 +273,8 @@ class CheckpointManager:
         path = os.path.join(self.directory, F.step_dirname("incr", step))
         F.write_save(path, {
             "kind": "incr", "step": step, "since": since,
-            "tables": {n: int(t["keys"].shape[0]) for n, t in tables.items()},
+            "tables": {n: int(t["keys"].shape[0]) if "keys" in t else -1
+                       for n, t in tables.items()},
         }, dense, tables)
         self._last_save_step = step
         self._last_incr_time = time.time()
@@ -309,6 +320,17 @@ class CheckpointManager:
         new_tables = {}
         for name, coll in trainer.collections.items():
             parts = all_arrays[name]
+            if parts and "__dense__" in parts[0]:
+                # dense variant table: the last save wins wholesale
+                last = parts[-1]
+                tmpl = state.tables[name]
+                leaves = [jnp.asarray(last[f"leaf__{i:04d}"])
+                          for i in range(len(jax.tree_util.tree_leaves(
+                              (tmpl.ev, tmpl.slot))))]
+                treedef = jax.tree_util.tree_structure((tmpl.ev, tmpl.slot))
+                ev_new, slot_new = jax.tree_util.tree_unflatten(treedef, leaves)
+                new_tables[name] = tmpl._replace(ev=ev_new, slot=slot_new)
+                continue
             # distinct keys across base+replay bound the row count per shard
             n_max = sum(p["keys"].shape[0] for p in parts)
             per_shard = int(np.ceil(n_max / S)) + 8

@@ -227,6 +227,11 @@ class EmbeddingCollection:
         """[n_unique, dim] rows — the differentiable leaf."""
         return ev.gather(values, aux.ev_aux, self.config)
 
+    def rows_for_training(self, state, aux: CollectionAux) -> jax.Array:
+        """Trainer hook: unique rows from full table state (variant
+        collections override — e.g. frequency-masked widths)."""
+        return self.gather_unique(state.values, aux)
+
     def _per_column_rows(self, urows: jax.Array, aux: CollectionAux):
         """[N, dim] rows in flat layout order."""
         return urows[aux.ev_aux.uniq.inverse]
@@ -298,6 +303,47 @@ class EmbeddingCollection:
         values, slot_state = opt.apply(state.values, slot_state, a.slots,
                                        urow_grads, a.admitted, step)
         return state._replace(values=values), slot_state
+
+    # -- trainer hooks (table-type polymorphism: variant collections
+    #    override these; the Trainer never assumes EVState directly) -----
+    def init_slot(self, opt, state) -> object:
+        return opt.init(state.values)
+
+    def readonly_rows(self, state, cats):
+        """(aux, unique rows) without mutation — the eval/serving path."""
+        from .sparse import hashtable as ht  # local: avoid cycle at import
+        if isinstance(cats, K.Keys):
+            flat = cats.reshape(-1) if len(cats.shape) > 1 else cats
+        else:
+            flat, _ = self._flatten_ids(cats)
+        uniq = unique(flat, self.config.max_unique)
+        slots, found = ht.lookup(state.index, uniq.ukeys, self.config.max_probes)
+        aux = CollectionAux(ev_aux=ev.LookupAux(
+            uniq=uniq, slots=slots, admitted=found,
+            created=jnp.zeros_like(found)))
+        rows = state.values[slots]
+        defaults = ev.init_rows(self.config, uniq.ukeys).astype(rows.dtype)
+        valid = ~K.is_empty(uniq.ukeys)
+        rows = jnp.where((found | ~valid)[:, None], rows, defaults)
+        return aux, rows
+
+    def load_factor(self, state) -> float:
+        return float(ev.load_factor(state)) if hasattr(state, "index") else 0.0
+
+    def needs_growth(self, state) -> bool:
+        return (self.load_factor(state) >= 0.7
+                or int(jnp.sum(state.index.overflow)) > 0)
+
+    def grow_state(self, state, slot_state):
+        """Double the capacity; returns (state, slot_state). Mutates
+        ``self.config`` (static shapes re-jit upstream)."""
+        import dataclasses
+        from .optim.sparse import permute_slot_state
+        new_cap = self.config.capacity * 2
+        new_state, perm = ev.grow(state, self.config, new_cap)
+        slot_state = permute_slot_state(slot_state, perm, new_cap)
+        self.config = dataclasses.replace(self.config, capacity=new_cap)
+        return new_state, slot_state
 
 
 def dense_features(columns: Sequence[NumericColumn], batch: Dict[str, jax.Array]) -> jax.Array:

@@ -142,6 +142,8 @@ class DSSM(nn.Module):
                      compute_dtype=self.compute_dtype, name="user_tower")(u_in)
         v = MLPTower(self.tower_units, final_units=self.out_dim,
                      compute_dtype=self.compute_dtype, name="item_tower")(i_in)
-        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-6)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+        # smooth normalization: linalg.norm has a NaN gradient at exactly 0
+        # (an all-zero tower input is reachable via padding/overflow rows)
+        u = u * jax.lax.rsqrt(jnp.sum(u * u, -1, keepdims=True) + 1e-12)
+        v = v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-12)
         return jnp.sum(u * v, axis=-1) / self.temperature

@@ -91,10 +91,10 @@ class Trainer:
         for name, coll in self.collections.items():
             st = coll.init()
             st, aux = coll.lookup_or_create(st, cats[name], jnp.zeros((), jnp.int32))
-            urows = coll.gather_unique(st.values, aux)
+            urows = coll.rows_for_training(st, aux)
             outputs[name] = (coll.embeddings(urows, aux),
                             coll.sequence_embeddings(urows, aux))
-            slot = self.sparse_optimizers[name].init(st.values)
+            slot = coll.init_slot(self.sparse_optimizers[name], st)
             tables[name] = TableBundle(ev=coll.init(), slot=slot)
         params = self.forward(functools.partial(self.model.init, rng),
                               dense, outputs, True)
@@ -126,7 +126,7 @@ class Trainer:
         return new_tables, auxs
 
     def _loss_and_grads(self, params, tables, auxs, dense, labels, train=True):
-        urows = {name: coll.gather_unique(tables[name].ev.values, auxs[name])
+        urows = {name: coll.rows_for_training(tables[name].ev, auxs[name])
                  for name, coll in self.collections.items()}
 
         def loss_fn(params, urows):
@@ -240,12 +240,8 @@ class Trainer:
         changed = False
         for name, coll in self.collections.items():
             b = tables[name]
-            lf = float(ev.load_factor(b.ev))
-            if lf >= threshold or int(b.ev.index.overflow.sum()) > 0:
-                new_cap = b.ev.capacity * 2
-                new_ev, perm = ev.grow(b.ev, coll.config, new_cap)
-                slot = permute_slot_state(b.slot, perm, new_cap)
-                coll.config = _with_capacity(coll.config, new_cap)
+            if coll.needs_growth(b.ev):
+                new_ev, slot = coll.grow_state(b.ev, b.slot)
                 tables[name] = TableBundle(ev=new_ev, slot=slot)
                 changed = True
         if not changed:
@@ -275,24 +271,10 @@ def _mb_split(x, k):
         lambda a: a.reshape(k, a.shape[0] // k, *a.shape[1:]), x)
 
 
-def _readonly_lookup(coll: EmbeddingCollection, state: ev.EVState, cats):
-    """Lookup without mutation: unknown keys read their would-be init row."""
-    from ..ops.unique import unique
-    from ..sparse import hashtable as ht
-    if isinstance(cats, K.Keys):
-        flat = cats.reshape(-1) if len(cats.shape) > 1 else cats
-    else:
-        flat, _ = coll._flatten_ids(cats)
-    uniq = unique(flat, coll.config.max_unique)
-    slots, found = ht.lookup(state.index, uniq.ukeys, coll.config.max_probes)
-    aux = CollectionAux(ev_aux=ev.LookupAux(
-        uniq=uniq, slots=slots,
-        admitted=found, created=jnp.zeros_like(found)))
-    rows = state.values[slots]
-    defaults = ev.init_rows(coll.config, uniq.ukeys).astype(rows.dtype)
-    valid = ~K.is_empty(uniq.ukeys)
-    rows = jnp.where((found | ~valid)[:, None], rows, defaults)
-    return aux, rows
+def _readonly_lookup(coll: EmbeddingCollection, state, cats):
+    """Lookup without mutation: unknown keys read their would-be init row.
+    (Thin alias of the collection hook; kept for external callers.)"""
+    return coll.readonly_rows(state, cats)
 
 
 def default_forward(apply_fn, dense, outputs, train):

@@ -53,6 +53,9 @@ if __name__ == "__main__":
     p = cli.base_parser("DIN on behaviour data")
     # adam converges far better than adagrad on the attention stack
     # (measured: eval AUC 0.687 vs 0.547 at 3k steps on the synthetic task)
-    p.set_defaults(optimizer="adam", learning_rate=0.002)
+    p.set_defaults(optimizer="adam", learning_rate=0.002,
+                   # behaviour sequences dedup poorly: most
+                   # history ids are unique within a batch
+                   max_unique_ratio=0.75)
     args = p.parse_args()
     cli.run(build(args), args)

@@ -49,6 +49,9 @@ def build(args) -> cli.ModelSpec:
 
 if __name__ == "__main__":
     p = cli.base_parser("DSSM two-tower on behaviour data")
-    p.set_defaults(optimizer="adam", learning_rate=0.002)
+    p.set_defaults(optimizer="adam", learning_rate=0.002,
+                   # behaviour sequences dedup poorly: most
+                   # history ids are unique within a batch
+                   max_unique_ratio=0.75)
     args = p.parse_args()
     cli.run(build(args), args)
