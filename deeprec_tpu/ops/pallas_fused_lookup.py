@@ -71,8 +71,7 @@ def _fused_kernel(slots_ref, nvalid_ref, values_ref, out_ref, acc, sems):
 
         total = jax.lax.fori_loop(
             0, w, body, jnp.zeros_like(out_ref[0]))
-        denom = jnp.maximum(n, 1).astype(total.dtype)
-        out_ref[b] = total / denom
+        out_ref[b] = total  # raw sum; combiner scaling happens outside
         return 0
 
     jax.lax.fori_loop(0, _CHUNK, example, 0)
@@ -82,11 +81,13 @@ def _fused_kernel(slots_ref, nvalid_ref, values_ref, out_ref, acc, sems):
 def fused_pooled_lookup(values: jax.Array, slots: jax.Array,
                         valid: jax.Array, combiner: str = "mean") -> jax.Array:
     """values [R, D] (D a multiple of 128), slots int32 [B, w],
-    valid bool [B, w] -> pooled [B, D].
+    valid bool [B, w] -> pooled [B, D] (combiner: sum | mean | sqrtn).
 
-    ``valid`` columns must be left-packed per example (sort padding to the
-    right); the kernel reads ``n_valid`` rows per example.
+    ``valid`` may be arbitrary per example — slots are left-packed here so
+    the kernel streams exactly ``n_valid`` rows per example.
     """
+    if combiner not in ("sum", "mean", "sqrtn"):
+        raise ValueError(f"unknown combiner {combiner!r}")
     r, d = values.shape
     if d % 128:
         raise ValueError("fused_pooled_lookup needs D % 128 == 0; use the "
@@ -128,6 +129,8 @@ def fused_pooled_lookup(values: jax.Array, slots: jax.Array,
         interpret=jax.default_backend() == "cpu",
     )(packed, nvalid[:, None], values)[:b]
     if combiner == "sum":
-        out = out * jnp.maximum(
-            jnp.sum(valid.astype(values.dtype), -1), 1.0)[:, None]
-    return out
+        return out
+    denom = jnp.maximum(nvalid[:b], 1).astype(out.dtype)
+    if combiner == "sqrtn":
+        denom = jnp.sqrt(denom)
+    return out / denom[:, None]
