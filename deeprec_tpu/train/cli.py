@@ -182,6 +182,11 @@ def run(spec: ModelSpec, args) -> dict:
             state = tr._jit_train(state, *packed)
             done += 1
             if done % args.log_steps == 0:
+                # summarize() reads device scalars -> this is the loop's
+                # device fence: python dispatch races ahead of execution
+                # otherwise (async dispatch), which would make wall-clock
+                # checkpoint timers fire against dispatched, not completed,
+                # steps. Saves therefore also happen here, at fence points.
                 m = M.summarize(state.metrics)
                 dt = time.perf_counter() - t0
                 eps = done * args.batch_size / dt
@@ -190,8 +195,8 @@ def run(spec: ModelSpec, args) -> dict:
                       f"({eps:.0f} ex/s)")
                 if writer:
                     writer.write(int(state.step), m, examples_per_sec=eps)
-            if mgr is not None:
-                mgr.maybe_save(tr, state)
+                if mgr is not None:
+                    mgr.maybe_save(tr, state)
     jax.block_until_ready(state.step)
     train_secs = time.perf_counter() - t0
 
