@@ -113,6 +113,14 @@ class EmbeddingVariableConfig:
     # read the null row for one step (see ops.unique). Typically n/4 for
     # heavy-tailed id streams.
     max_unique: Optional[int] = None
+    # Lazy row initialisation (filter-less tables only): created rows read
+    # their deterministic init at gather time and materialise on their
+    # first optimizer update — removing a [U -> capacity] row scatter per
+    # step (~15% of a CTR train step). Every trainer path writes created
+    # rows in the same step, so semantics match eager init there; raw
+    # lookup-then-export *without* an update would export zeros — set
+    # lazy_init=False for that usage.
+    lazy_init: bool = True
     # Multi-hash (Q-R trick) / dynamic-dim variants are separate table types
     # built on top of this config (sparse/multihash.py, sparse/dynamicdim.py).
 

@@ -297,11 +297,19 @@ class EmbeddingCollection:
 
     # -- backward ------------------------------------------------------
     def apply_gradients(self, state: ev.EVState, opt, slot_state,
-                        aux: CollectionAux, urow_grads: jax.Array, step: jax.Array):
-        """Sparse-apply the cotangent of :meth:`gather_unique`'s output."""
+                        aux: CollectionAux, urow_grads: jax.Array,
+                        step: jax.Array, urows: jax.Array | None = None):
+        """Sparse-apply the cotangent of :meth:`gather_unique`'s output.
+
+        ``urows`` are the effective current rows (the forward pass already
+        gathered them); required under lazy init so created rows update
+        from their logical init, not the store's zeros."""
         a = aux.ev_aux
+        if urows is None:
+            urows = ev.gather(state.values, a, self.config)
         values, slot_state = opt.apply(state.values, slot_state, a.slots,
-                                       urow_grads, a.admitted, step)
+                                       urow_grads, a.admitted, step,
+                                       cur_rows=urows)
         return state._replace(values=values), slot_state
 
     # -- trainer hooks (table-type polymorphism: variant collections

@@ -73,7 +73,8 @@ class MultiHashCollection(EmbeddingCollection):
     def sequence_embeddings(self, urows, aux):
         return self.sequence_embeddings_from_rows(urows, aux.ev_aux.valid)
 
-    def apply_gradients(self, state, opt, slot_state, aux, urow_grads, step):
+    def apply_gradients(self, state, opt, slot_state, aux, urow_grads,
+                        step, urows=None):
         return mh.apply_gradients(state, self.mh_config, opt, slot_state,
                                   aux.ev_aux.flat, urow_grads, step)
 
@@ -133,7 +134,8 @@ class AdaptiveCollection(EmbeddingCollection):
         rows = urows[a.uniq.inverse]
         return self.sequence_embeddings_from_rows(rows, valid)
 
-    def apply_gradients(self, state, opt, slot_state, aux, urow_grads, step):
+    def apply_gradients(self, state, opt, slot_state, aux, urow_grads,
+                        step, urows=None):
         state, ev_slot, st_slot = ad.apply_gradients(
             state, self.config, opt, slot_state["ev"], opt,
             slot_state["static"], aux.ev_aux, urow_grads, step)
@@ -176,15 +178,17 @@ class DynamicDimCollection(EmbeddingCollection):
         self.dd = dynamic_dim
 
     def rows_for_training(self, state, aux):
-        return dd_mod.gather(state, self.dd, aux.ev_aux)
+        return dd_mod.gather(state, self.dd, aux.ev_aux, self.config)
 
-    def apply_gradients(self, state, opt, slot_state, aux, urow_grads, step):
+    def apply_gradients(self, state, opt, slot_state, aux, urow_grads,
+                        step, urows=None):
         # re-mask: inactive blocks receive no update even though the model
-        # produced cotangents for the zeroed inputs
+        # produced cotangents for the zeroed inputs; cur rows must be the
+        # UNMASKED effective rows, so let the base recompute them
         a = aux.ev_aux
         mask = dd_mod.block_mask(self.dd, state.freqs[a.slots])
         return super().apply_gradients(state, opt, slot_state, aux,
-                                       urow_grads * mask, step)
+                                       urow_grads * mask, step, urows=None)
 
     def readonly_rows(self, state, cats):
         aux, rows = super().readonly_rows(state, cats)

@@ -18,9 +18,13 @@ Semantics:
     permutations from ``embedding_var.shrink``/``grow`` must be applied via
     :func:`permute_slot_state`.
 
-All updaters are pure: ``(values, slot_state, slots, grads, mask, step) ->
-(values, slot_state)`` with scatter writes that drop masked rows by
-indexing one past the null row (out-of-bounds scatter with mode='drop').
+All updaters are pure: ``(values, slot_state, slots, grads, mask, step,
+cur_rows=None) -> (values, slot_state)`` with scatter writes that drop
+masked rows by indexing one past the null row (out-of-bounds scatter with
+mode='drop'). ``cur_rows`` supplies the *effective* current rows when the
+store uses lazy initialisation (embedding_var.gather): created rows hold
+zeros in the store but their logical value is the deterministic init, and
+the write-back below persists init+update in one scatter.
 """
 from __future__ import annotations
 
@@ -67,10 +71,10 @@ def sparse_sgd(learning_rate: Schedule = 0.01) -> SparseOptimizer:
     def init(values):
         return ()
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
-        cur = values[slots]
+        cur = cur_rows if cur_rows is not None else values[slots]
         new = cur - lr * grads.astype(cur.dtype)
         return _scatter_set(values, dest, new), slot_state
 
@@ -85,12 +89,13 @@ def sparse_adagrad(learning_rate: Schedule = 0.05,
     def init(values):
         return {"acc": jnp.full(values.shape, initial_accumulator_value, jnp.float32)}
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
         g = grads.astype(jnp.float32)
         acc = slot_state["acc"][slots] + g * g
-        cur = values[slots].astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
         new = cur - lr * g * jax.lax.rsqrt(acc)
         return (
             _scatter_set(values, dest, new),
@@ -121,7 +126,7 @@ def sparse_adagrad_decay(
             "last_period": jnp.zeros((values.shape[0],), jnp.int32),
         }
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
         g = grads.astype(jnp.float32)
@@ -131,7 +136,8 @@ def sparse_adagrad_decay(
         decay = jnp.power(accumulator_decay_rate, n)[..., None]
         acc = jnp.maximum(slot_state["acc"][slots] * decay, accumulator_baseline)
         acc = acc + g * g
-        cur = values[slots].astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
         new = cur - lr * g * jax.lax.rsqrt(acc)
         return (
             _scatter_set(values, dest, new),
@@ -159,7 +165,7 @@ def sparse_adam(
         return {"m": jnp.zeros(values.shape, jnp.float32),
                 "v": jnp.zeros(values.shape, jnp.float32)}
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         t = jnp.asarray(step, jnp.float32) + 1.0
         b1p = jnp.power(beta1, t)
@@ -169,7 +175,8 @@ def sparse_adam(
         dest = _dest(slots, mask, values.shape[0])
         m = beta1 * slot_state["m"][slots] + (1.0 - beta1) * g
         v = beta2 * slot_state["v"][slots] + (1.0 - beta2) * g * g
-        cur = values[slots].astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
         new = cur - alpha * m / (jnp.sqrt(v) + epsilon)
         return (
             _scatter_set(values, dest, new),
@@ -202,11 +209,12 @@ def sparse_adam_async(
             "beta2_power": jnp.asarray(beta2, jnp.float32),
         }
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
-        cur = values[slots].astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
         if apply_sparse_rmsprop:
             v = beta2 * slot_state["v"][slots] + (1.0 - beta2) * g * g
             m = beta1 * slot_state["m"][slots] + (1.0 - beta1) * g
@@ -250,13 +258,14 @@ def sparse_ftrl(
             "linear": jnp.zeros(values.shape, jnp.float32),
         }
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
         accum = slot_state["accum"][slots]
         linear = slot_state["linear"][slots]
-        cur = values[slots].astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
 
         new_accum = accum + g * g
         p = -learning_rate_power
@@ -281,12 +290,13 @@ def sparse_momentum(learning_rate: Schedule = 0.01, momentum: float = 0.9,
     def init(values):
         return {"mom": jnp.zeros(values.shape, jnp.float32)}
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         lr = _lr_at(learning_rate, step)
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
         mom = momentum * slot_state["mom"][slots] + g
-        cur = values[slots].astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
         if use_nesterov:
             new = cur - lr * (g + momentum * mom)
         else:
@@ -306,7 +316,7 @@ def group_lasso(inner: SparseOptimizer, strength: float) -> SparseOptimizer:
     def init(values):
         return {"inner": inner.init(values)}
 
-    def apply(values, slot_state, slots, grads, mask, step):
+    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
         values, inner_state = inner.apply(values, slot_state["inner"], slots, grads, mask, step)
         dest = _dest(slots, mask, values.shape[0])
         rows = values[slots].astype(jnp.float32)

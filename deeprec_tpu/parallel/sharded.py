@@ -127,11 +127,16 @@ def _ev_lookup_unique(state, coll, uniq: UniqueResult, step):
     return ev.lookup_or_create_unique(state, coll.config, uniq, step)
 
 
-def gather_owner_rows(state_values: jax.Array, aux: ShardedAux) -> jax.Array:
+def gather_owner_rows(state_values: jax.Array, aux: ShardedAux,
+                      config=None) -> jax.Array:
     """Owner-side rows for every received bucket position: [S*C, dim].
-    This is the DIFFERENTIABLE leaf of the sharded lookup."""
-    slots_per_pos = aux.recv_aux.slots[aux.recv_uniq.inverse]
-    return state_values[slots_per_pos]
+    This is the DIFFERENTIABLE leaf of the sharded lookup. Pass ``config``
+    so lazily-initialised created rows read their deterministic init."""
+    if config is not None:
+        urows = ev.gather(state_values, aux.recv_aux, config)
+    else:
+        urows = state_values[aux.recv_aux.slots]
+    return urows[aux.recv_uniq.inverse]
 
 
 def rows_back(urows_owner: jax.Array, aux: ShardedAux, axis: str,
@@ -171,8 +176,9 @@ def apply_gradients_sharded(
     n = aux.recv_uniq.ukeys.shape[0]
     grads_u = jax.ops.segment_sum(d_urows_owner, aux.recv_uniq.inverse, n)
     a = aux.recv_aux
+    cur = ev.gather(state.values, a, coll.config)  # lazy-init effective rows
     values, slot_state = opt.apply(state.values, slot_state, a.slots,
-                                   grads_u, a.admitted, step)
+                                   grads_u, a.admitted, step, cur_rows=cur)
     return state._replace(values=values), slot_state
 
 

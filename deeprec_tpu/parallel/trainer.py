@@ -215,7 +215,9 @@ class ShardedTrainer:
         if dense is not None:
             dense = normalize_dense(self.numeric_columns, dense)
         tables, auxs, caps = self._sparse_forward(state.tables, cats, step)
-        urows = {name: sharded.gather_owner_rows(tables[name].ev.values, auxs[name])
+        urows = {name: sharded.gather_owner_rows(
+                     tables[name].ev.values, auxs[name],
+                     self.collections[name].config)
                  for name in self.collections}
 
         def loss_fn(params, urows):

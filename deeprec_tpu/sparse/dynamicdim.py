@@ -65,12 +65,17 @@ def block_mask(dd: DynamicDimConfig, freqs: jax.Array) -> jax.Array:
     return jnp.repeat(active.astype(jnp.float32), dd.block_dim, axis=-1)
 
 
-def gather(state: ev.EVState, dd: DynamicDimConfig, aux: ev.LookupAux) -> jax.Array:
+def gather(state: ev.EVState, dd: DynamicDimConfig, aux: ev.LookupAux,
+           config: EmbeddingVariableConfig | None = None) -> jax.Array:
     """[n_unique, full_dim] rows with inactive blocks zeroed. The zeroing is
     part of the differentiable graph, so cotangents of inactive blocks
     vanish and the optimizer never updates them — matching the reference's
-    semantics that a row only trains the width it has reached."""
-    rows = state.values[aux.slots]
+    semantics that a row only trains the width it has reached. Pass the EV
+    ``config`` so lazily-initialised created rows read their init."""
+    if config is not None:
+        rows = ev.gather(state.values, aux, config)
+    else:
+        rows = state.values[aux.slots]
     freqs = state.freqs[aux.slots]
     return rows * block_mask(dd, freqs)
 

@@ -183,14 +183,21 @@ def lookup_or_create_unique(
 
     index, slots, created = ht.lookup_or_insert(state.index, gated, config.max_probes)
 
-    # Initialise created rows (and stamp creation step). All scatter
-    # destinations below are unique: live unique keys own distinct slots,
-    # everything else is routed to cap+1 (out of bounds -> dropped).
-    # unique_indices=True selects XLA's parallel scatter path.
+    # Created rows: filtered tables materialise the init rows eagerly (a
+    # non-admitted key must keep serving its frozen init across steps).
+    # Filter-less tables defer initialisation to :func:`gather` — created
+    # rows are admitted and written by the optimizer within the same step,
+    # so the [U -> capacity] row scatter here would be pure waste (it was
+    # ~15% of the train step). All scatter destinations below are unique:
+    # live unique keys own distinct slots, everything else routes to cap+1
+    # (out of bounds -> dropped); unique_indices=True selects XLA's
+    # parallel scatter path.
     dest = jnp.where(created, slots, cap + 1)
-    rows0 = init_rows(config, ukeys)
-    values = state.values.at[dest].set(rows0.astype(state.values.dtype),
-                                       mode="drop", unique_indices=True)
+    values = state.values
+    if config.filter_freq > 0 or not config.lazy_init:
+        rows0 = init_rows(config, ukeys)
+        values = values.at[dest].set(rows0.astype(values.dtype),
+                                     mode="drop", unique_indices=True)
     create_steps = state.create_steps.at[dest].set(gs, mode="drop",
                                                    unique_indices=True)
 
@@ -200,8 +207,8 @@ def lookup_or_create_unique(
     freqs = state.freqs.at[mdest].add(counts, mode="drop", unique_indices=True)
     versions = state.versions.at[mdest].set(gs, mode="drop", unique_indices=True)
 
-    # Keep the null row pristine.
-    values = values.at[cap].set(0.0)
+    # Keep the null row pristine (values never scatter to it: destinations
+    # are either live slots or out-of-bounds).
     freqs = freqs.at[cap].set(0)
     versions = versions.at[cap].set(-1)
     create_steps = create_steps.at[cap].set(-1)
@@ -226,12 +233,22 @@ def gather(values: jax.Array, aux: LookupAux, config: EmbeddingVariableConfig) -
 
     Non-admitted keys read their (frozen) initial row — numerically equal to
     DeepRec's "return default value until admitted" because rows are
-    initialised deterministically at creation and never updated while
-    filtered (training_ali_ops.cc:124-133 is_filter branch skips the
-    update). Differentiate w.r.t. ``values`` gathered rows only: callers
-    take grads of the [n, dim] output, keeping the cotangent sparse.
+    initialised deterministically and never updated while filtered
+    (training_ali_ops.cc:124-133 is_filter branch skips the update).
+    Filter-less tables use lazy initialisation: rows created this step read
+    their init here (the store still holds zeros) and the optimizer's
+    write-back persists init+update in one scatter. Differentiate w.r.t.
+    ``values`` gathered rows only: callers take grads of the [n, dim]
+    output, keeping the cotangent sparse.
     """
-    return values[aux.slots]
+    rows = values[aux.slots]
+    if config.filter_freq > 0 or not config.lazy_init:
+        return rows
+    # additive (not select) so gradients still flow to created rows: a
+    # created slot holds exact zeros (stores are zero-filled and slots are
+    # only vacated by rebuilds, which zero-fill), hence rows+init == init
+    init = init_rows(config, aux.uniq.ukeys).astype(rows.dtype)
+    return rows + jnp.where(aux.created[:, None], init, 0.0)
 
 
 def lookup_dense(

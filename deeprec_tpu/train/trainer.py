@@ -145,15 +145,16 @@ class Trainer:
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             params, urows)
-        return loss, logits, grads
+        return loss, logits, grads, urows
 
-    def _apply_sparse(self, tables, auxs, urow_grads, step):
+    def _apply_sparse(self, tables, auxs, urow_grads, step, urows=None):
         out = {}
         for name, coll in self.collections.items():
             bundle = tables[name]
             ev_state, slot = coll.apply_gradients(
                 bundle.ev, self.sparse_optimizers[name], bundle.slot,
-                auxs[name], urow_grads[name], step)
+                auxs[name], urow_grads[name], step,
+                urows=urows[name] if urows else None)
             out[name] = TableBundle(ev=ev_state, slot=slot)
         return out
 
@@ -165,9 +166,9 @@ class Trainer:
 
         if self.microbatches == 1:
             tables, auxs = self._sparse_forward(state.tables, cats, step)
-            loss, logits, (gp, gu) = self._loss_and_grads(
+            loss, logits, (gp, gu), urows = self._loss_and_grads(
                 state.params, tables, auxs, dense, labels)
-            tables = self._apply_sparse(tables, auxs, gu, step)
+            tables = self._apply_sparse(tables, auxs, gu, step, urows)
         else:
             k = self.microbatches
             mb_dense = _mb_split(dense, k)
@@ -182,9 +183,9 @@ class Trainer:
                 tables, gp_acc, loss_acc = carry
                 d, c, l = mb
                 tables, auxs = self._sparse_forward(tables, c, step)
-                loss, logits, (gp, gu) = self._loss_and_grads(
+                loss, logits, (gp, gu), urows = self._loss_and_grads(
                     state.params, tables, auxs, d, l)
-                tables = self._apply_sparse(tables, auxs, gu, step)
+                tables = self._apply_sparse(tables, auxs, gu, step, urows)
                 gp_acc = jax.tree_util.tree_map(jnp.add, gp_acc, gp)
                 return (tables, gp_acc, loss_acc + loss), logits
 

@@ -152,7 +152,8 @@ class TestEviction:
         assert int(st2.index.size.sum()) == 1
 
     def test_shrink_permutes_values(self):
-        cfg = _cfg(evict=dr.GlobalStepEvict(steps_to_live=100),
+        # raw lookup -> shrink -> lookup without an update: eager rows
+        cfg = _cfg(evict=dr.GlobalStepEvict(steps_to_live=100), lazy_init=False,
                    initializer=dr.Initializer(kind="normal", scale=1.0))
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids(np.arange(50)), 0)
@@ -164,13 +165,14 @@ class TestEviction:
         np.testing.assert_allclose(before, after, rtol=1e-6)
 
     def test_grow_preserves_rows(self):
-        cfg = _cfg(capacity=256)
+        # raw lookup -> grow -> lookup without an update: eager rows
+        cfg = _cfg(capacity=256, lazy_init=False)
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids(np.arange(100)), 0)
         before = np.asarray(ev.lookup_dense(st, cfg, aux, (100,)))
         st2, perm = ev.grow(st, cfg, 1024)
         assert st2.capacity == 1024
-        cfg2 = _cfg(capacity=1024)
+        cfg2 = _cfg(capacity=1024, lazy_init=False)
         st2, aux2 = ev.lookup_or_create(st2, cfg2, _ids(np.arange(100)), 1)
         after = np.asarray(ev.lookup_dense(st2, cfg2, aux2, (100,)))
         np.testing.assert_allclose(before, after, rtol=1e-6)
@@ -179,7 +181,9 @@ class TestEviction:
 
 class TestSnapshot:
     def test_export_import_roundtrip(self):
-        cfg = _cfg()
+        # raw lookup -> export without an optimizer update: needs eager
+        # row materialisation (lazy_init defers it to the first update)
+        cfg = _cfg(lazy_init=False)
         st = ev.create(cfg)
         ids = np.array([3, 1 << 40, 7, 2**55 + 9], np.int64)
         st, aux = ev.lookup_or_create(st, cfg, _ids(ids), 5)
@@ -274,3 +278,55 @@ class TestTraining:
         i8 = int(np.where(uk == 8)[0][0])
         np.testing.assert_allclose(g[i7], 3.0)
         np.testing.assert_allclose(g[i8], 1.0)
+
+
+class TestLazyInit:
+    def test_created_rows_serve_init_and_materialise_on_update(self):
+        """Lazy init (default): gather returns the deterministic init for
+        created rows while the store holds zeros; one optimizer update
+        persists init+update in a single scatter."""
+        cfg = _cfg()  # lazy_init=True default, no filters
+        st = ev.create(cfg)
+        ids = _ids([5, 9])
+        st, aux = ev.lookup_or_create(st, cfg, ids, 0)
+        served = np.asarray(ev.gather(st.values, aux, cfg)[:2])
+        expect_init = np.asarray(ev.init_rows(cfg, aux.uniq.ukeys)[:2])
+        np.testing.assert_allclose(served, expect_init, rtol=1e-6)
+        # store itself still zeros
+        np.testing.assert_allclose(
+            np.asarray(st.values[np.asarray(aux.slots)[:2]]), 0.0)
+        # one SGD step with zero grads persists exactly the init
+        opt = sopt.sparse_sgd(1.0)
+        slot = opt.init(st.values)
+        values, _ = opt.apply(st.values, slot, aux.slots,
+                              jnp.zeros((aux.slots.shape[0], cfg.embedding_dim)),
+                              aux.admitted, 0,
+                              cur_rows=ev.gather(st.values, aux, cfg))
+        np.testing.assert_allclose(
+            np.asarray(values[np.asarray(aux.slots)[:2]]), expect_init,
+            rtol=1e-6)
+
+    def test_lazy_matches_eager_training(self):
+        """A trained table ends identical under lazy and eager init."""
+        opt = sopt.sparse_adagrad(0.3)
+        outs = []
+        for lazy in (True, False):
+            cfg = _cfg(lazy_init=lazy)
+            st = ev.create(cfg)
+            slot = opt.init(st.values)
+            for step in range(3):
+                ids = _ids([1, 2, 3, 4, step + 10])
+                st, aux = ev.lookup_or_create(st, cfg, ids, step)
+                urows = ev.gather(st.values, aux, cfg)
+                g = jnp.ones_like(urows) * 0.1
+                values, slot = opt.apply(st.values, slot, aux.slots, g,
+                                         aux.admitted, step, cur_rows=urows)
+                st = st._replace(values=values)
+            snap = ev.export(st)
+            live = np.asarray(snap.live)
+            keys = ((np.asarray(snap.keys_hi)[live].astype(np.int64) << 32)
+                    | np.asarray(snap.keys_lo)[live].astype(np.uint32).astype(np.int64))
+            order = np.argsort(keys)
+            outs.append((keys[order], np.asarray(snap.values)[live][order]))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)

@@ -108,7 +108,7 @@ def test_multihash_grad_equivalence_with_autodiff():
 def test_dynamicdim_blocks_activate_with_frequency():
     dd = dynamicdim.DynamicDimConfig(block_num=3, block_dim=4,
                                      freq_thresholds=(0, 3, 6))
-    cfg = dynamicdim.ev_config("d", dd, capacity=64,
+    cfg = dynamicdim.ev_config("d", dd, capacity=64, lazy_init=False,
                                initializer=dr.Initializer("constant", constant=1.0))
     st = ev.create(cfg)
     ids = ids_of(42)
@@ -126,7 +126,7 @@ def test_dynamicdim_blocks_activate_with_frequency():
 def test_dynamicdim_masked_blocks_get_no_gradient():
     dd = dynamicdim.DynamicDimConfig(block_num=2, block_dim=3,
                                      freq_thresholds=(0, 100))
-    cfg = dynamicdim.ev_config("d", dd, capacity=64)
+    cfg = dynamicdim.ev_config("d", dd, capacity=64, lazy_init=False)
     st = ev.create(cfg)
     ids = ids_of(7, 8)
     st, aux = ev.lookup_or_create(st, cfg, ids, jnp.zeros((), jnp.int32))

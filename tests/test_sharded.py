@@ -27,7 +27,10 @@ def _setup(capacity=1 << 10):
     numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES[:4]]
     emb_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), EMB_DIM)
                 for n in CAT_NAMES[:N_CAT]]
+    # raw exchange tests read init rows without an optimizer update ->
+    # eager materialisation
     coll = fc.EmbeddingCollection(emb_cols, name="emb", capacity=capacity,
+                                  lazy_init=False,
                                   initializer=dr.Initializer(kind="normal", scale=0.05))
     model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=EMB_DIM,
                      bottom_units=(32,), top_units=(64, 32))
