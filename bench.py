@@ -45,11 +45,14 @@ def main():
         initializer=dr.Initializer(kind="normal", scale=0.05),
         # static unique-width cap: Criteo id batches are heavy-tailed, the
         # unique count stays well under a quarter of the flat width
-        max_unique=len(CAT_NAMES) * args.batch // 4)
+        max_unique=len(CAT_NAMES) * args.batch // 4,
+        # ValuePtr-style fused slot storage: adagrad accumulator lives in
+        # the values rows -> one optimizer scatter instead of two
+        fused_slot_columns=args.emb_dim, fused_slot_init=0.1)
     model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=args.emb_dim,
                      bottom_units=(512, 256), top_units=(1024, 1024, 512, 256))
     tr = Trainer(model, numeric, {"emb": coll},
-                 {"emb": sopt.sparse_adagrad(0.05)}, optax.adagrad(0.05))
+                 {"emb": sopt.sparse_adagrad_fused(0.05)}, optax.adagrad(0.05))
 
     gen = SyntheticCriteo(batch_size=args.batch, seed=7)
     warm = 5

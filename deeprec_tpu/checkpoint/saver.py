@@ -92,7 +92,8 @@ def table_snapshot_host(
             if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
                 live &= (global_step - versions[s, :cap]) < pol.steps_to_live
             elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-                norms = np.sum(values[s, :cap].astype(np.float64) ** 2, axis=-1)
+                norms = np.sum(values[s, :cap, :config.embedding_dim]
+                               .astype(np.float64) ** 2, axis=-1)
                 live &= norms >= pol.l2_weight_threshold
         if since_step is not None:
             live &= versions[s, :cap] >= since_step

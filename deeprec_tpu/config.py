@@ -113,6 +113,16 @@ class EmbeddingVariableConfig:
     # read the null row for one step (see ops.unique). Typically n/4 for
     # heavy-tailed id streams.
     max_unique: Optional[int] = None
+    # Fused slot storage (the ValuePtr row layout of the reference): the
+    # values array carries this many extra trailing columns holding the
+    # sparse optimizer's per-row state, so one scatter persists
+    # value+slot updates together (scatters are issue-bound per row —
+    # this halves the optimizer's write cost). Pair with a *_fused
+    # optimizer whose slot_columns(dim) matches.
+    fused_slot_columns: int = 0
+    # Initial value of fused slot columns (e.g. adagrad's
+    # initial_accumulator_value); must match the paired fused optimizer.
+    fused_slot_init: float = 0.0
     # Lazy row initialisation (filter-less tables only): created rows read
     # their deterministic init at gather time and materialise on their
     # first optimizer update — removing a [U -> capacity] row scatter per

@@ -309,7 +309,7 @@ class EmbeddingCollection:
             urows = ev.gather(state.values, a, self.config)
         values, slot_state = opt.apply(state.values, slot_state, a.slots,
                                        urow_grads, a.admitted, step,
-                                       cur_rows=urows)
+                                       cur_rows=urows, created=a.created)
         return state._replace(values=values), slot_state
 
     # -- trainer hooks (table-type polymorphism: variant collections
@@ -329,7 +329,7 @@ class EmbeddingCollection:
         aux = CollectionAux(ev_aux=ev.LookupAux(
             uniq=uniq, slots=slots, admitted=found,
             created=jnp.zeros_like(found)))
-        rows = state.values[slots]
+        rows = state.values[slots][:, : self.config.embedding_dim]
         defaults = ev.init_rows(self.config, uniq.ukeys).astype(rows.dtype)
         valid = ~K.is_empty(uniq.ukeys)
         rows = jnp.where((found | ~valid)[:, None], rows, defaults)

@@ -71,7 +71,8 @@ def sparse_sgd(learning_rate: Schedule = 0.01) -> SparseOptimizer:
     def init(values):
         return ()
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
         cur = cur_rows if cur_rows is not None else values[slots]
@@ -89,7 +90,8 @@ def sparse_adagrad(learning_rate: Schedule = 0.05,
     def init(values):
         return {"acc": jnp.full(values.shape, initial_accumulator_value, jnp.float32)}
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
         g = grads.astype(jnp.float32)
@@ -126,7 +128,8 @@ def sparse_adagrad_decay(
             "last_period": jnp.zeros((values.shape[0],), jnp.int32),
         }
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
         g = grads.astype(jnp.float32)
@@ -165,7 +168,8 @@ def sparse_adam(
         return {"m": jnp.zeros(values.shape, jnp.float32),
                 "v": jnp.zeros(values.shape, jnp.float32)}
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         t = jnp.asarray(step, jnp.float32) + 1.0
         b1p = jnp.power(beta1, t)
@@ -209,7 +213,8 @@ def sparse_adam_async(
             "beta2_power": jnp.asarray(beta2, jnp.float32),
         }
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
@@ -258,7 +263,8 @@ def sparse_ftrl(
             "linear": jnp.zeros(values.shape, jnp.float32),
         }
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
@@ -285,12 +291,49 @@ def sparse_ftrl(
     return SparseOptimizer("ftrl", init, apply)
 
 
+def sparse_adagrad_fused(learning_rate: Schedule = 0.05,
+                         initial_accumulator_value: float = 0.1) -> SparseOptimizer:
+    """Adagrad with the accumulator stored in the values array's fused slot
+    columns — the reference's ValuePtr row layout (value_ptr.h:141: primary
+    and slot values share one allocation). One row gather + ONE row scatter
+    per step instead of two of each (scatters are issue-bound per row).
+
+    Pair with ``EmbeddingVariableConfig(fused_slot_columns=dim,
+    fused_slot_init=initial_accumulator_value)``.
+    """
+    acc0 = np.float32(initial_accumulator_value)
+
+    def init(values):
+        return ()  # slot state lives inside the values array
+
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
+        lr = _lr_at(learning_rate, step)
+        g = grads.astype(jnp.float32)
+        dim = g.shape[-1]
+        full = values[slots]
+        acc_raw = full[:, dim:].astype(jnp.float32)
+        if created is not None:
+            # lazy-init rows hold zeros; their logical accumulator is acc0
+            acc_raw = jnp.where(created[:, None], acc0, acc_raw)
+        acc = acc_raw + g * g
+        cur = (cur_rows if cur_rows is not None
+               else full[:, :dim]).astype(jnp.float32)
+        new = cur - lr * g * jax.lax.rsqrt(acc)
+        packed = jnp.concatenate([new, acc], axis=-1)
+        dest = _dest(slots, mask, values.shape[0])
+        return _scatter_set(values, dest, packed), slot_state
+
+    return SparseOptimizer("adagrad_fused", init, apply)
+
+
 def sparse_momentum(learning_rate: Schedule = 0.01, momentum: float = 0.9,
                     use_nesterov: bool = False) -> SparseOptimizer:
     def init(values):
         return {"mom": jnp.zeros(values.shape, jnp.float32)}
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         lr = _lr_at(learning_rate, step)
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
@@ -316,7 +359,8 @@ def group_lasso(inner: SparseOptimizer, strength: float) -> SparseOptimizer:
     def init(values):
         return {"inner": inner.init(values)}
 
-    def apply(values, slot_state, slots, grads, mask, step, cur_rows=None):
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
         values, inner_state = inner.apply(values, slot_state["inner"], slots, grads, mask, step)
         dest = _dest(slots, mask, values.shape[0])
         rows = values[slots].astype(jnp.float32)
@@ -348,6 +392,7 @@ def permute_slot_state(slot_state, old_to_new: jax.Array, new_cap: int):
 REGISTRY = {
     "sgd": sparse_sgd,
     "adagrad": sparse_adagrad,
+    "adagrad_fused": sparse_adagrad_fused,
     "adagrad_decay": sparse_adagrad_decay,
     "adam": sparse_adam,
     "adam_async": sparse_adam_async,

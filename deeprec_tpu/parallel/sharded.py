@@ -178,7 +178,8 @@ def apply_gradients_sharded(
     a = aux.recv_aux
     cur = ev.gather(state.values, a, coll.config)  # lazy-init effective rows
     values, slot_state = opt.apply(state.values, slot_state, a.slots,
-                                   grads_u, a.admitted, step, cur_rows=cur)
+                                   grads_u, a.admitted, step, cur_rows=cur,
+                                   created=a.created)
     return state._replace(values=values), slot_state
 
 
@@ -219,7 +220,7 @@ def exchange_lookup_readonly(
     recv_keys = K.Keys(recv_hi.reshape(-1), recv_lo.reshape(-1))
 
     slots, found = ht.lookup(state.index, recv_keys, coll.config.max_probes)
-    rows_r = state.values[slots]
+    rows_r = state.values[slots][:, : coll.config.embedding_dim]
     defaults = ev.init_rows(coll.config, recv_keys).astype(rows_r.dtype)
     rvalid = ~K.is_empty(recv_keys)
     rows_r = jnp.where((found | ~rvalid)[:, None], rows_r, defaults)

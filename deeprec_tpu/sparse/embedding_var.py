@@ -65,7 +65,7 @@ class LookupAux(NamedTuple):
 
 def create(config: EmbeddingVariableConfig) -> EVState:
     cap = config.capacity
-    dim = config.embedding_dim
+    dim = config.embedding_dim + config.fused_slot_columns
     dtype = jnp.dtype(config.value_dtype)
     cbf = None
     if config.cbf_filter is not None:
@@ -196,6 +196,10 @@ def lookup_or_create_unique(
     values = state.values
     if config.filter_freq > 0 or not config.lazy_init:
         rows0 = init_rows(config, ukeys)
+        if config.fused_slot_columns:
+            pad = jnp.full((rows0.shape[0], config.fused_slot_columns),
+                           config.fused_slot_init, rows0.dtype)
+            rows0 = jnp.concatenate([rows0, pad], axis=-1)
         values = values.at[dest].set(rows0.astype(values.dtype),
                                      mode="drop", unique_indices=True)
     create_steps = state.create_steps.at[dest].set(gs, mode="drop",
@@ -242,6 +246,8 @@ def gather(values: jax.Array, aux: LookupAux, config: EmbeddingVariableConfig) -
     output, keeping the cotangent sparse.
     """
     rows = values[aux.slots]
+    if config.fused_slot_columns:
+        rows = rows[:, : config.embedding_dim]
     if config.filter_freq > 0 or not config.lazy_init:
         return rows
     # additive (not select) so gradients still flow to created rows: a
@@ -259,7 +265,7 @@ def lookup_dense(
 ) -> jax.Array:
     """[batch..., dim] embeddings for the original (pre-dedup) id layout."""
     rows = gather(state.values, aux, config)
-    return rows[aux.uniq.inverse].reshape(*batch_shape, state.dim)
+    return rows[aux.uniq.inverse].reshape(*batch_shape, config.embedding_dim)
 
 
 def pooled_lookup(
@@ -300,7 +306,8 @@ def shrink(
     if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
         keep = keep & (gs - state.versions[:cap] < pol.steps_to_live)
     elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-        norms = jnp.sum(state.values[:cap] * state.values[:cap], axis=-1)
+        vals = state.values[:cap, : config.embedding_dim]
+        norms = jnp.sum(vals * vals, axis=-1)
         keep = keep & (norms >= pol.l2_weight_threshold)
     new_cap = new_capacity or cap
     new_index, old_to_new = ht.rebuild(state.index, keep, new_cap, config.max_probes)

@@ -68,7 +68,7 @@ class TieredTrainer(Trainer):
         coll = self.collections[name]
         cap1 = coll.config.capacity + 1
         slots = _slot_row_leaves(bundle.slot, cap1)
-        dim = coll.config.embedding_dim
+        dim = bundle.ev.values.shape[1]  # includes fused slot columns
         width = dim + 3 + sum(w for _, w, _, _ in slots)
         return dim, slots, width
 
@@ -164,8 +164,9 @@ class TieredTrainer(Trainer):
             if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
                 cold = occupied & (gs - versions >= pol.steps_to_live)
             elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-                norms = np.sum(np.asarray(bundle.ev.values[:cap],
-                                          np.float64) ** 2, -1)
+                norms = np.sum(np.asarray(
+                    bundle.ev.values[:cap, :cfg.embedding_dim],
+                    np.float64) ** 2, -1)
                 cold = occupied & (norms < pol.l2_weight_threshold)
             else:
                 continue
