@@ -132,14 +132,30 @@ def run(spec: ModelSpec, args) -> dict:
     # static dedup-width cap: the whole sparse path runs at unique-width
     # (per-device width on a mesh) instead of flat width — a large
     # throughput lever on heavy-tailed id streams
+    import dataclasses
     if args.max_unique_ratio > 0:
-        import dataclasses
         shards = max(args.mesh, 1)
         for coll in spec.collections.values():
             if coll.config.max_unique is None:
                 local_flat = coll.total_width * args.batch_size // shards
                 mu = max(256, int(local_flat * args.max_unique_ratio))
                 coll.config = dataclasses.replace(coll.config, max_unique=mu)
+
+    # fused slot storage: when the sparse optimizer is plain adagrad, store
+    # its accumulator inside the values rows (ValuePtr layout) — one
+    # optimizer scatter instead of two (~20% step time)
+    if args.optimizer == "adagrad":
+        from ..optim.sparse import sparse_adagrad_fused
+        from ..feature_column import EmbeddingCollection
+        for name, coll in spec.collections.items():
+            if (type(coll) is EmbeddingCollection
+                    and coll.config.fused_slot_columns == 0
+                    and spec.sparse_optimizers[name].name == "adagrad"):
+                coll.config = dataclasses.replace(
+                    coll.config, fused_slot_columns=coll.config.embedding_dim,
+                    fused_slot_init=0.1)
+                spec.sparse_optimizers[name] = sparse_adagrad_fused(
+                    args.learning_rate, initial_accumulator_value=0.1)
 
     common = dict(
         model=spec.model, numeric_columns=spec.numeric_columns,
