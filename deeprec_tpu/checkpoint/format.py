@@ -49,6 +49,8 @@ def list_saves(directory: str) -> List[Dict[str, Any]]:
     if not os.path.isdir(directory):
         return out
     for name in os.listdir(directory):
+        if ".old." in name or name.endswith(".tmp"):
+            continue  # superseded / in-flight save directories
         mpath = os.path.join(directory, name, MANIFEST)
         if not os.path.isfile(mpath):
             continue

@@ -75,9 +75,14 @@ class Prefetcher:
                     raw = next(self._src)
                 except StopIteration:
                     raw = _END
+                except Exception as e:  # source error: surface, don't hang
+                    raw = e
                 self._seq += 1
             if raw is _END:
                 self._emit(seq, _END)
+                return
+            if isinstance(raw, Exception):
+                self._emit(seq, raw)
                 return
             try:
                 staged = self._put(self._prepare(raw))

@@ -160,8 +160,7 @@ class EmbeddingCollection:
         transfer instead of one per column (the eager per-column path costs
         ~50x more in dispatch/transfer overhead)."""
         flat = self.pack_ids_np(batch)
-        lo = (flat & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
-        hi = (flat >> np.int64(32)).astype(np.int32)
+        hi, lo = K.split_np(flat)
         # kept 2-D [total_width, B] so a data-parallel step can shard the
         # batch axis; consumers flatten feature-major (matching the
         # _flatten_ids layout).

@@ -361,7 +361,9 @@ def group_lasso(inner: SparseOptimizer, strength: float) -> SparseOptimizer:
 
     def apply(values, slot_state, slots, grads, mask, step,
               cur_rows=None, created=None):
-        values, inner_state = inner.apply(values, slot_state["inner"], slots, grads, mask, step)
+        values, inner_state = inner.apply(values, slot_state["inner"], slots,
+                                          grads, mask, step,
+                                          cur_rows=cur_rows, created=created)
         dest = _dest(slots, mask, values.shape[0])
         rows = values[slots].astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))

@@ -183,9 +183,7 @@ class ShardedTrainer:
                               pack_dense(self.numeric_columns, batch))
         cats = {}
         for name, coll in self.collections.items():
-            flat = coll.pack_ids_np(batch)
-            lo = (flat & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
-            hi = (flat >> np.int64(32)).astype(np.int32)
+            hi, lo = K.split_np(coll.pack_ids_np(batch))
             cats[name] = K.Keys(globalize(self.mesh, P(None, axis), hi),
                                 globalize(self.mesh, P(None, axis), lo))
         labels = (globalize(self.mesh, P(axis),

@@ -55,16 +55,24 @@ def bucket_of(keys: K.Keys, buckets: int) -> jax.Array:
 
 def lookup_or_create(state: AdaptiveState, config: EmbeddingVariableConfig,
                      ids: K.Keys, step: jax.Array):
-    """EV lookup with admission; newly-admitted keys seed their EV row from
-    their static bucket row (warm migration)."""
+    """EV lookup with admission; a key crossing the admission threshold
+    THIS step seeds its EV row from its static bucket row — the warm
+    migration carries the signal learned in the shared bucket during the
+    filtering period over to the dedicated row."""
     ev_state, aux = ev.lookup_or_create(state.ev, config, ids, step)
     buckets = state.static.shape[0] - 1
     b = bucket_of(aux.uniq.ukeys, buckets)
-    # migrate: rows created this step start from the shared bucket row
-    created_dest = jnp.where(aux.created, aux.slots, config.capacity)
-    seeded = ev_state.values.at[created_dest].set(
-        state.static[b].astype(ev_state.values.dtype), mode="drop")
-    seeded = seeded.at[config.capacity].set(0.0)
+    if config.counter_filter is not None:
+        thr = config.counter_filter.filter_freq
+        prev_freq = ev_state.freqs[aux.slots] - aux.uniq.counts
+        newly_admitted = aux.admitted & (prev_freq < thr)
+    else:
+        # CBF gating: slot allocation IS admission — seed at creation
+        newly_admitted = aux.created
+    dest = jnp.where(newly_admitted, aux.slots, config.capacity + 1)
+    seeded = ev_state.values.at[dest].set(
+        state.static[b].astype(ev_state.values.dtype), mode="drop",
+        unique_indices=True)
     return AdaptiveState(ev=ev_state._replace(values=seeded),
                          static=state.static), aux
 

@@ -352,6 +352,26 @@ def load_factor(state: EVState) -> jax.Array:
     return state.index.size.sum().astype(jnp.float32) / state.capacity
 
 
+def cold_mask_np(config: EmbeddingVariableConfig, values_np, versions_np,
+                 occupied_np, global_step: int):
+    """Host-side eviction predicate — THE single definition of "cold" for
+    every host path (checkpoint save-time eviction, host-tier demotion), so
+    they can never diverge from each other. Mirrors :func:`shrink`'s device
+    predicate. ``values_np`` is the [cap(, +1), width] value store (fused
+    slot columns are excluded from the L2 norm)."""
+    import numpy as _np
+    pol = config.evict
+    cap = occupied_np.shape[0]
+    cold = _np.zeros((cap,), bool)
+    if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
+        cold = occupied_np & (global_step - versions_np[:cap]
+                              >= pol.steps_to_live)
+    elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
+        v = _np.asarray(values_np[:cap, : config.embedding_dim], _np.float64)
+        cold = occupied_np & (_np.sum(v * v, -1) < pol.l2_weight_threshold)
+    return cold
+
+
 class Snapshot(NamedTuple):
     """Dense export of a table: the checkpoint unit. Matches the reference's
     4-tensor EV bundle {keys, values, versions, freqs} + live mask

@@ -46,11 +46,19 @@ EMPTY_HI = np.int32(-1)
 EMPTY_LO = np.int32(-1)
 
 
-def from_numpy(ids) -> Keys:
-    """Split an int64 numpy array (or python ints) into (hi, lo) planes."""
+def split_np(ids: "np.ndarray"):
+    """int64 numpy -> (hi, lo) int32 numpy planes — the one key encoding;
+    every host-side consumer (packing, sharded batch assembly) must use
+    this so keys route identically everywhere."""
     a = np.asarray(ids, dtype=np.int64)
     lo = (a & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
     hi = (a >> np.int64(32)).astype(np.int32)
+    return hi, lo
+
+
+def from_numpy(ids) -> Keys:
+    """Split an int64 numpy array (or python ints) into (hi, lo) planes."""
+    hi, lo = split_np(ids)
     return Keys(jnp.asarray(hi), jnp.asarray(lo))
 
 

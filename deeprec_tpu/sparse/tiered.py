@@ -42,32 +42,45 @@ class TieredTable:
     def __init__(self, config: EmbeddingVariableConfig,
                  capacity_hint: int = 1 << 16, track_slots: bool = False):
         self.config = config
-        self.host = HostKV(config.embedding_dim, capacity_hint)
+        self._capacity_hint = capacity_hint
+        self.host: Optional[HostKV] = None  # sized lazily: row width may
+        #                                     include fused slot columns
         self.track_slots = track_slots
-        self._slot_host: Optional[HostKV] = None
+
+    def _host(self, width: int) -> HostKV:
+        if self.host is None:
+            self.host = HostKV(width, self._capacity_hint)
+        assert self.host.dim == width, "row width changed under the tier"
+        return self.host
 
     # -- promotion (after lookup) -------------------------------------------
     def promote_created(self, state: ev.EVState, aux: ev.LookupAux
-                        ) -> ev.EVState:
+                        ) -> Tuple[ev.EVState, ev.LookupAux]:
         """Patch rows created this step with their host-tier values (if
-        any). Host round-trip on the unique keys only."""
-        if len(self.host) == 0:
-            return state
+        any). Host round-trip on the unique keys only. Returns the patched
+        state AND an aux whose ``created`` flags are cleared for promoted
+        keys — under lazy init, gather adds the deterministic init to
+        created rows (which hold zeros), and a promoted row is NOT zeros."""
+        if self.host is None or len(self.host) == 0:
+            return state, aux
         created = np.asarray(aux.created)
         if not created.any():
-            return state
+            return state, aux
         ukeys = K.to_numpy(K.Keys(np.asarray(aux.uniq.ukeys.hi),
                                   np.asarray(aux.uniq.ukeys.lo)))
         slots = np.asarray(aux.slots)
-        ck, cs = ukeys[created], slots[created]
-        rows, found = self.host.lookup(ck)
+        idx = np.nonzero(created)[0]
+        rows, found = self.host.lookup(ukeys[idx])
         if not found.any():
-            return state
-        hk, hs, hr = ck[found], cs[found], rows[found]
-        values = state.values.at[jnp.asarray(hs)].set(
-            jnp.asarray(hr, state.values.dtype))
-        self.host.erase(hk)
-        return state._replace(values=values)
+            return state, aux
+        hit_u = idx[found]
+        values = state.values.at[jnp.asarray(slots[hit_u])].set(
+            jnp.asarray(rows[found], state.values.dtype))
+        self.host.erase(ukeys[hit_u])
+        new_created = created.copy()
+        new_created[hit_u] = False
+        aux = aux._replace(created=jnp.asarray(new_created))
+        return state._replace(values=values), aux
 
     # -- demotion (between steps / at checkpoint) ------------------------------
     def demote(self, state: ev.EVState, global_step,
@@ -78,22 +91,20 @@ class TieredTable:
         cfg = self.config
         cap = state.capacity
         gs = int(global_step)
-        versions = np.asarray(state.versions[:cap])
+        values_np = np.asarray(state.values)
+        versions = np.asarray(state.versions)
         occupied = ~np.asarray(
             (np.asarray(state.index.key_hi) == -1)
             & (np.asarray(state.index.key_lo) == -1))
-        cold = np.zeros((cap,), bool)
-        pol = cfg.evict
-        if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
-            cold = occupied & (gs - versions >= pol.steps_to_live)
-        elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-            norms = np.sum(np.asarray(state.values[:cap], np.float64) ** 2, -1)
-            cold = occupied & (norms < pol.l2_weight_threshold)
+        # the ONE cold predicate, shared with shrink and the checkpoint
+        # saver (ev.cold_mask_np) — divergence here silently loses rows
+        cold = ev.cold_mask_np(cfg, values_np, versions, occupied, gs)
         if cold.any():
             idx = np.nonzero(cold)[0]
             keys64 = ((np.asarray(state.index.key_hi)[idx].astype(np.int64) << 32)
                       | np.asarray(state.index.key_lo)[idx].astype(np.uint32).astype(np.int64))
-            self.host.upsert(keys64, np.asarray(state.values, np.float32)[idx])
+            self._host(values_np.shape[1]).upsert(
+                keys64, values_np[idx].astype(np.float32))
         new_state, old_to_new = ev.shrink(state, cfg, jnp.asarray(gs, jnp.int32))
         return new_state, old_to_new
 
@@ -102,17 +113,21 @@ class TieredTable:
                          ) -> Tuple[ev.EVState, ev.LookupAux]:
         state, aux = ev.lookup_or_create(state, self.config, ids,
                                          jnp.asarray(step, jnp.int32))
-        state = self.promote_created(state, aux)
+        state, aux = self.promote_created(state, aux)
         return state, aux
 
     # -- tier stats/persistence -------------------------------------------------
     def host_rows(self) -> int:
-        return len(self.host)
+        return len(self.host) if self.host is not None else 0
 
     def export_host(self):
-        """(keys int64[n], rows f32[n, dim]) — for checkpointing the cold
+        """(keys int64[n], rows f32[n, width]) — for checkpointing the cold
         tier alongside the device table."""
+        if self.host is None:
+            return (np.zeros((0,), np.int64),
+                    np.zeros((0, self.config.embedding_dim
+                              + self.config.fused_slot_columns), np.float32))
         return self.host.export()
 
     def import_host(self, keys: np.ndarray, rows: np.ndarray):
-        self.host.upsert(keys, rows)
+        self._host(rows.shape[1]).upsert(keys, rows)

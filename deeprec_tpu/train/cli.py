@@ -256,6 +256,8 @@ def criteo_train_stream(args):
     from ..data.work_queue import WorkQueue, input_producer
     if args.data_location and not args.synthetic:
         files = args.data_location.split(",")
+        if len(files) > 1:
+            files = files[:-1]  # last file is the eval holdout
         if args.workqueue:
             q = WorkQueue(files, path=args.workqueue, num_epochs=1000)
             return input_producer(q, read_criteo, batch_size=args.batch_size)
@@ -270,7 +272,10 @@ def criteo_train_stream(args):
 def criteo_eval_stream(args):
     from ..data.criteo import SyntheticCriteo, read_criteo
     if args.data_location and not args.synthetic:
-        f = args.data_location.split(",")[0]
+        # holdout: with several files, the LAST is reserved for eval and
+        # excluded from training (criteo_train_stream); a single file has
+        # no holdout — metrics are then train-set metrics
+        f = args.data_location.split(",")[-1]
         import itertools
         return itertools.islice(read_criteo(f, args.batch_size), args.eval_steps)
     gen = SyntheticCriteo(batch_size=args.batch_size, seed=args.seed + 999)

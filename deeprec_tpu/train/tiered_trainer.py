@@ -52,6 +52,7 @@ class TieredTrainer(Trainer):
         super().__init__(*args, **kwargs)
         self.tiers: Dict[str, HostKV] = {}
         self._payload: Dict[str, list] = {}
+        self._insert_fns: Dict = {}  # (name, n_pad, width) -> jitted insert
         for name, coll in self.collections.items():
             if coll.config.storage.storage_type == StorageType.HBM_DRAM:
                 # payload per row: values + freq + version + create_step +
@@ -86,7 +87,6 @@ class TieredTrainer(Trainer):
                 continue
             hit_ids = ids[found]
             hit_rows = payload[found]
-            kv.erase(hit_ids)
             # pad to a pow2 width to bound jit retraces
             n = hit_ids.shape[0]
             n_pad = max(8, 1 << (n - 1).bit_length())
@@ -95,16 +95,25 @@ class TieredTrainer(Trainer):
             pad_rows = np.zeros((n_pad, hit_rows.shape[1]), np.float32)
             pad_rows[:n] = hit_rows
             bundle = new_tables[name]
-            new_tables[name] = self._insert_promoted(
+            new_tables[name], live = self._insert_promoted(
                 name, bundle, K.from_numpy(pad_ids), jnp.asarray(pad_rows))
+            # erase only rows confirmed inserted into HBM: a near-full hash
+            # table can refuse placement, and erasing first would lose the
+            # demoted training state permanently
+            confirmed = np.asarray(live)[:n]
+            if confirmed.any():
+                kv.erase(hit_ids[confirmed])
             changed = True
         return state._replace(tables=new_tables) if changed else state
 
     def _insert_promoted(self, name, bundle: TableBundle, keys: K.Keys,
-                         payload: jax.Array) -> TableBundle:
+                         payload: jax.Array):
         coll = self.collections[name]
         cfg = coll.config
         dim, slot_rows, _w = self._payload_spec(name, bundle)
+        cache_key = (name, int(keys.hi.shape[0]), int(payload.shape[1]))
+        if cache_key in self._insert_fns:
+            return self._insert_fns[cache_key](bundle, keys, payload)
 
         @jax.jit
         def insert(bundle, keys, payload):
@@ -137,8 +146,9 @@ class TieredTrainer(Trainer):
             return TableBundle(
                 ev=st._replace(index=index, values=values, freqs=freqs,
                                versions=versions, create_steps=create_steps),
-                slot=slot)
+                slot=slot), live
 
+        self._insert_fns[cache_key] = insert
         return insert(bundle, keys, payload)
 
     # -- demotion --------------------------------------------------------------
@@ -159,17 +169,10 @@ class TieredTrainer(Trainer):
             key_hi = np.asarray(bundle.ev.index.key_hi)
             key_lo = np.asarray(bundle.ev.index.key_lo)
             occupied = ~((key_hi == -1) & (key_lo == -1))
-            versions = np.asarray(bundle.ev.versions[:cap])
-            pol = cfg.evict
-            if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
-                cold = occupied & (gs - versions >= pol.steps_to_live)
-            elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-                norms = np.sum(np.asarray(
-                    bundle.ev.values[:cap, :cfg.embedding_dim],
-                    np.float64) ** 2, -1)
-                cold = occupied & (norms < pol.l2_weight_threshold)
-            else:
-                continue
+            versions = np.asarray(bundle.ev.versions)
+            # the ONE cold predicate (shared with shrink / checkpoint save)
+            cold = ev.cold_mask_np(cfg, np.asarray(bundle.ev.values),
+                                   versions, occupied, gs)
             if not cold.any():
                 continue
             idx = np.nonzero(cold)[0]
