@@ -290,11 +290,16 @@ class CheckpointManager:
         return None
 
     def _gc(self):
+        import shutil
         fulls = [m for m in F.list_saves(self.directory) if m["kind"] == "full"]
         for m in fulls[:-self.keep] if self.keep else []:
             # old incrementals whose base is being dropped go too
-            import shutil
             shutil.rmtree(m["path"], ignore_errors=True)
+        # superseded same-step saves renamed by write_save
+        for name in os.listdir(self.directory):
+            if ".old." in name:
+                shutil.rmtree(os.path.join(self.directory, name),
+                              ignore_errors=True)
 
     # -- restore -------------------------------------------------------------
     def restore(self, trainer, state) -> Tuple[Any, bool]:
