@@ -352,6 +352,52 @@ def load_factor(state: EVState) -> jax.Array:
     return state.index.size.sum().astype(jnp.float32) / state.capacity
 
 
+def pooled_lookup_multi_dim(
+    values: jax.Array,
+    aux: LookupAux,
+    config: EmbeddingVariableConfig,
+    batch_shape: Tuple[int, ...],
+    combiners: Tuple[str, ...],
+    weights: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-dimension sparse pooling (reference
+    embedding_ops.py:928 ``embedding_lookup_sparse_multi_dim`` /
+    :1348 ``safe_embedding_lookup_multi_dim``): ids laid out as
+    ``[B, L1, ..., Lk]`` (EMPTY-padded) pool innermost-first with one
+    combiner per sparse dimension, e.g. a user's sessions x clicks
+    pooling clicks within a session then sessions within the user.
+
+    ``aux`` comes from :func:`lookup_or_create` over the flattened ids in
+    the same layout; padding contributes nothing (and mean/sqrtn
+    denominators count only valid entries at every level).
+    """
+    if len(combiners) != len(batch_shape) - 1:
+        raise ValueError("one combiner per sparse dimension")
+    rows = gather(values, aux, config)[aux.uniq.inverse]
+    rows = rows.reshape(*batch_shape, config.embedding_dim)
+    valid = (aux.slots != config.capacity)[aux.uniq.inverse]
+    valid = valid.reshape(*batch_shape).astype(rows.dtype)
+    if weights is not None:
+        rows = rows * weights.reshape(*batch_shape)[..., None]
+    rows = rows * valid[..., None]
+    for combiner in reversed(combiners):
+        if combiner == "sum":
+            rows = jnp.sum(rows, axis=-2)
+            valid = jnp.max(valid, axis=-1)  # level valid if any entry was
+        elif combiner == "mean":
+            denom = jnp.maximum(jnp.sum(valid, axis=-1), 1.0)
+            rows = jnp.sum(rows, axis=-2) / denom[..., None]
+            valid = jnp.max(valid, axis=-1)
+        elif combiner == "sqrtn":
+            denom = jnp.sqrt(jnp.maximum(jnp.sum(valid, axis=-1), 1.0))
+            rows = jnp.sum(rows, axis=-2) / denom[..., None]
+            valid = jnp.max(valid, axis=-1)
+        else:
+            raise ValueError(f"unknown combiner {combiner!r}")
+        rows = rows * valid[..., None]
+    return rows
+
+
 def cold_mask_np(config: EmbeddingVariableConfig, values_np, versions_np,
                  occupied_np, global_step: int):
     """Host-side eviction predicate — THE single definition of "cold" for

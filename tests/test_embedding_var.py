@@ -330,3 +330,28 @@ class TestLazyInit:
             outs.append((keys[order], np.asarray(snap.values)[live][order]))
         np.testing.assert_array_equal(outs[0][0], outs[1][0])
         np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+
+
+class TestMultiDimLookup:
+    def test_pooled_lookup_multi_dim(self):
+        """Sessions x clicks pooling (embedding_lookup_sparse_multi_dim)."""
+        cfg = _cfg(embedding_dim=4, initializer=dr.Initializer("constant", constant=1.0))
+        st = ev.create(cfg)
+        # B=2 users, 2 sessions, 3 clicks; -1 = padding
+        ids = np.array([
+            [[1, 2, -1], [3, -1, -1]],
+            [[4, 5, 6], [-1, -1, -1]],
+        ], np.int64)
+        st, aux = ev.lookup_or_create(st, cfg, _ids(ids.reshape(-1)), 0)
+        out = ev.pooled_lookup_multi_dim(
+            st.values, aux, cfg, (2, 2, 3), combiners=("mean", "mean"))
+        out = np.asarray(out)
+        assert out.shape == (2, 4)
+        # all rows are 1.0 (constant init): mean over valid = 1 at every
+        # level; user 1 has one empty session which must not dilute
+        np.testing.assert_allclose(out, 1.0, rtol=1e-6)
+        # sum-sum counts every valid click
+        out2 = np.asarray(ev.pooled_lookup_multi_dim(
+            st.values, aux, cfg, (2, 2, 3), combiners=("sum", "sum")))
+        np.testing.assert_allclose(out2[0], 3.0)  # 2 + 1 clicks
+        np.testing.assert_allclose(out2[1], 3.0)  # 3 + 0 clicks
