@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import hashlib
 import itertools
-import os
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np

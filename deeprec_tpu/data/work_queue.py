@@ -24,7 +24,6 @@ Semantics:
 """
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import threading

@@ -39,7 +39,6 @@ import numpy as np
 
 from .config import EmbeddingVariableConfig, Initializer
 from .ops.unique import unique
-from .ops import segment
 from .sparse import embedding_var as ev
 from .sparse import keys as K
 

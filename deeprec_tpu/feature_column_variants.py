@@ -14,7 +14,6 @@ from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .config import EmbeddingVariableConfig, Initializer
 from .feature_column import (CollectionAux, EmbeddingCollection,

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import AUGRU, Dice, DINAttention, GRU, MLPTower
+from .layers import AUGRU, Dice, DINAttention, GRU
 from .ctr import concat_emb
 
 

@@ -25,14 +25,13 @@ exactly the PS-side semantics of the reference.
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..feature_column import CollectionAux, EmbeddingCollection
+from ..feature_column import EmbeddingCollection
 from ..ops.unique import UniqueResult, unique
 from ..sparse import embedding_var as ev
 from ..sparse import hashtable as ht

@@ -30,7 +30,6 @@ from ..optim.sparse import SparseOptimizer
 from ..sparse import embedding_var as ev
 from ..sparse import hashtable as ht
 from ..sparse import keys as K
-from ..ops.unique import unique
 from ..train import metrics as metrics_lib
 from ..train.trainer import TableBundle, TrainState, bce_loss, default_forward
 from . import sharded

@@ -26,7 +26,6 @@ from ..checkpoint.saver import _scatter_table, needed_capacity
 from ..feature_column import EmbeddingCollection, NumericColumn, normalize_dense
 from ..optim.sparse import sparse_sgd
 from ..sparse import embedding_var as ev
-from ..sparse import keys as K
 from ..train.trainer import _readonly_lookup
 
 

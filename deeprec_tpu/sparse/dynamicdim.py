@@ -25,7 +25,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import EmbeddingVariableConfig
 from . import embedding_var as ev

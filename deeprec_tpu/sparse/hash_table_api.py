@@ -29,7 +29,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import CBFFilter
 from ..ops.unique import unique

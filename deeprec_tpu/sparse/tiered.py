@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EmbeddingVariableConfig, GlobalStepEvict, L2WeightEvict
+from ..config import EmbeddingVariableConfig
 from ..utils.native import HostKV
 from . import embedding_var as ev
 from . import keys as K

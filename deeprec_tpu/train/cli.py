@@ -25,8 +25,6 @@ import json
 import time
 from typing import Callable, Dict, Optional, Sequence
 
-import numpy as np
-
 
 @dataclasses.dataclass
 class ModelSpec:

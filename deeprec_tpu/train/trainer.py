@@ -27,11 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..feature_column import (CollectionAux, EmbeddingCollection,
-                              NumericColumn, normalize_dense, pack_dense)
-from ..optim.sparse import SparseOptimizer, permute_slot_state
+from ..feature_column import (EmbeddingCollection, NumericColumn,
+                              normalize_dense, pack_dense)
+from ..optim.sparse import SparseOptimizer
 from ..sparse import embedding_var as ev
-from ..sparse import keys as K
 from . import metrics as metrics_lib
 
 
