@@ -53,10 +53,13 @@ class ShardedAux(NamedTuple):
     n_dropped: jax.Array       # int32: local unique ids that overflowed buckets
 
 
+OWNER_SEED = 13  # must match checkpoint/saver.OWNER_SEED (reshard routing)
+
+
 def _owner_of(keys: K.Keys, num_shards: int) -> jax.Array:
     """Destination shard: hash-mod (decorrelated from the in-shard probe
     hash by the seed). EMPTY keys route to the drop bucket (= num_shards)."""
-    h = K.hash32(keys, seed=13)
+    h = K.hash32(keys, seed=OWNER_SEED)
     own = (h % np.uint32(num_shards)).astype(jnp.int32)
     return jnp.where(K.is_empty(keys), num_shards, own)
 
