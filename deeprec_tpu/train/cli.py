@@ -211,6 +211,17 @@ def run(spec: ModelSpec, args) -> dict:
                     writer.write(int(state.step), m, examples_per_sec=eps)
                 if mgr is not None:
                     mgr.maybe_save(tr, state)
+                if hasattr(tr, "maybe_grow"):
+                    # capacity growth check (DenseHashMap resize analog):
+                    # a saturated table silently routes new keys to the
+                    # null row otherwise
+                    grown = tr.maybe_grow(state)
+                    if grown is not state:
+                        print(f"table growth at step {int(grown.step)}: "
+                              + ", ".join(
+                                  f"{n}->{c.config.capacity}"
+                                  for n, c in tr.collections.items()))
+                        state = grown
     jax.block_until_ready(state.step)
     train_secs = time.perf_counter() - t0
 
