@@ -77,6 +77,8 @@ class Estimator:
                 if done % self.log_steps == 0:
                     m = M.summarize(state.metrics)  # device fence
                     self.mgr.maybe_save(self.trainer, state)
+                    if hasattr(self.trainer, "maybe_grow"):
+                        state = self.trainer.maybe_grow(state)
         self._state = state
         self.mgr.save(self.trainer, state)
         return M.summarize(state.metrics)
