@@ -40,8 +40,11 @@ class L2WeightEvict:
 
 @dataclasses.dataclass(frozen=True)
 class CounterFilter:
-    """Admit a feature only after it has been seen ``filter_freq`` times
-    (reference embedding_filter.h:289 CounterFilter)."""
+    """Admit a feature only after it has been seen in ``filter_freq``
+    lookup batches (reference embedding_filter.h:289 CounterFilter; the
+    reference dedups ids per batch before the PS-side gather —
+    embedding_ops.py:480 — so its filter likewise counts once per batch).
+    The semantic is identical on the local and sharded trainers."""
 
     filter_freq: int = 0
 

@@ -340,14 +340,17 @@ class EmbeddingCollection:
         return (self.load_factor(state) >= 0.7
                 or int(jnp.sum(state.index.overflow)) > 0)
 
-    def grow_state(self, state, slot_state):
+    def grow_state(self, state, slot_state, opt=None):
         """Double the capacity; returns (state, slot_state). Mutates
-        ``self.config`` (static shapes re-jit upstream)."""
+        ``self.config`` (static shapes re-jit upstream). Pass ``opt`` (the
+        table's SparseOptimizer) so vacated slot rows are re-filled with the
+        optimizer's init values, not zeros."""
         import dataclasses
         from .optim.sparse import permute_slot_state
         new_cap = self.config.capacity * 2
         new_state, perm = ev.grow(state, self.config, new_cap)
-        slot_state = permute_slot_state(slot_state, perm, new_cap)
+        slot_state = permute_slot_state(slot_state, perm, new_cap,
+                                        fills=opt.fills if opt else None)
         self.config = dataclasses.replace(self.config, capacity=new_cap)
         return new_state, slot_state
 

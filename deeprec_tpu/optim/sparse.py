@@ -48,6 +48,12 @@ class SparseOptimizer(NamedTuple):
     name: str
     init: Callable[[jax.Array], Any]          # values [cap+1, dim] -> slot pytree
     apply: Callable[..., tuple]               # see module docstring
+    # Per-leaf initial fill values, same structure as init's pytree (python
+    # scalars). Invariant: *unclaimed* slot rows always hold these fills —
+    # rebuilds (grow/shrink) must re-fill vacated rows with them, not zeros,
+    # or a row claimed later starts from acc=0 (rsqrt(0) = inf -> NaN on a
+    # zero gradient, and a wrong first-update magnitude otherwise).
+    fills: Any = ()
 
 
 def _dest(slots: jax.Array, mask: jax.Array, nrows: int) -> jax.Array:
@@ -79,7 +85,7 @@ def sparse_sgd(learning_rate: Schedule = 0.01) -> SparseOptimizer:
         new = cur - lr * grads.astype(cur.dtype)
         return _scatter_set(values, dest, new), slot_state
 
-    return SparseOptimizer("sgd", init, apply)
+    return SparseOptimizer("sgd", init, apply, fills=())
 
 
 def sparse_adagrad(learning_rate: Schedule = 0.05,
@@ -95,7 +101,13 @@ def sparse_adagrad(learning_rate: Schedule = 0.05,
         lr = _lr_at(learning_rate, step)
         dest = _dest(slots, mask, values.shape[0])
         g = grads.astype(jnp.float32)
-        acc = slot_state["acc"][slots] + g * g
+        acc0 = slot_state["acc"][slots]
+        if created is not None:
+            # rows claimed this step logically start at the init accumulator
+            # regardless of what the (rebuild-filled) store holds
+            acc0 = jnp.where(created[:, None],
+                             np.float32(initial_accumulator_value), acc0)
+        acc = acc0 + g * g
         cur = (cur_rows if cur_rows is not None
                else values[slots]).astype(jnp.float32)
         new = cur - lr * g * jax.lax.rsqrt(acc)
@@ -104,7 +116,8 @@ def sparse_adagrad(learning_rate: Schedule = 0.05,
             {"acc": _scatter_set(slot_state["acc"], dest, acc)},
         )
 
-    return SparseOptimizer("adagrad", init, apply)
+    return SparseOptimizer("adagrad", init, apply,
+                           fills={"acc": initial_accumulator_value})
 
 
 def sparse_adagrad_decay(
@@ -137,7 +150,11 @@ def sparse_adagrad_decay(
         last = slot_state["last_period"][slots]
         n = jnp.maximum(period - last, 0).astype(jnp.float32)
         decay = jnp.power(accumulator_decay_rate, n)[..., None]
-        acc = jnp.maximum(slot_state["acc"][slots] * decay, accumulator_baseline)
+        acc0 = slot_state["acc"][slots]
+        if created is not None:
+            acc0 = jnp.where(created[:, None],
+                             np.float32(initial_accumulator_value), acc0)
+        acc = jnp.maximum(acc0 * decay, accumulator_baseline)
         acc = acc + g * g
         cur = (cur_rows if cur_rows is not None
                else values[slots]).astype(jnp.float32)
@@ -150,7 +167,9 @@ def sparse_adagrad_decay(
             },
         )
 
-    return SparseOptimizer("adagrad_decay", init, apply)
+    return SparseOptimizer("adagrad_decay", init, apply,
+                           fills={"acc": initial_accumulator_value,
+                                  "last_period": 0})
 
 
 def sparse_adam(
@@ -188,7 +207,8 @@ def sparse_adam(
              "v": _scatter_set(slot_state["v"], dest, v)},
         )
 
-    return SparseOptimizer("adam", init, apply)
+    return SparseOptimizer("adam", init, apply,
+                           fills={"m": 0.0, "v": 0.0})
 
 
 def sparse_adam_async(
@@ -241,7 +261,9 @@ def sparse_adam_async(
             },
         )
 
-    return SparseOptimizer("adam_async", init, apply)
+    return SparseOptimizer("adam_async", init, apply,
+                           fills={"m": 0.0, "v": 0.0,
+                                  "beta1_power": 0.0, "beta2_power": 0.0})
 
 
 def sparse_ftrl(
@@ -269,6 +291,9 @@ def sparse_ftrl(
         g = grads.astype(jnp.float32)
         dest = _dest(slots, mask, values.shape[0])
         accum = slot_state["accum"][slots]
+        if created is not None:
+            accum = jnp.where(created[:, None],
+                              np.float32(initial_accumulator_value), accum)
         linear = slot_state["linear"][slots]
         cur = (cur_rows if cur_rows is not None
                else values[slots]).astype(jnp.float32)
@@ -288,7 +313,9 @@ def sparse_ftrl(
              "linear": _scatter_set(slot_state["linear"], dest, new_linear)},
         )
 
-    return SparseOptimizer("ftrl", init, apply)
+    return SparseOptimizer("ftrl", init, apply,
+                           fills={"accum": initial_accumulator_value,
+                                  "linear": 0.0})
 
 
 def sparse_adagrad_fused(learning_rate: Schedule = 0.05,
@@ -324,7 +351,7 @@ def sparse_adagrad_fused(learning_rate: Schedule = 0.05,
         dest = _dest(slots, mask, values.shape[0])
         return _scatter_set(values, dest, packed), slot_state
 
-    return SparseOptimizer("adagrad_fused", init, apply)
+    return SparseOptimizer("adagrad_fused", init, apply, fills=())
 
 
 def sparse_momentum(learning_rate: Schedule = 0.01, momentum: float = 0.9,
@@ -347,7 +374,7 @@ def sparse_momentum(learning_rate: Schedule = 0.01, momentum: float = 0.9,
         return (_scatter_set(values, dest, new),
                 {"mom": _scatter_set(slot_state["mom"], dest, mom)})
 
-    return SparseOptimizer("momentum", init, apply)
+    return SparseOptimizer("momentum", init, apply, fills={"mom": 0.0})
 
 
 def group_lasso(inner: SparseOptimizer, strength: float) -> SparseOptimizer:
@@ -370,25 +397,35 @@ def group_lasso(inner: SparseOptimizer, strength: float) -> SparseOptimizer:
         scale = jnp.maximum(0.0, 1.0 - strength / jnp.maximum(norm, 1e-12))
         return _scatter_set(values, dest, rows * scale), {"inner": inner_state}
 
-    return SparseOptimizer(f"group_lasso({inner.name})", init, apply)
+    return SparseOptimizer(f"group_lasso({inner.name})", init, apply,
+                           fills={"inner": inner.fills})
 
 
 # ---------------------------------------------------------------------------
 
 
-def permute_slot_state(slot_state, old_to_new: jax.Array, new_cap: int):
+def permute_slot_state(slot_state, old_to_new: jax.Array, new_cap: int,
+                       fills=None):
     """Carry optimizer slot rows through an eviction/growth rebuild (slots
     share row lifetime with the primary — slot_creator.py:82-115). Leaves
     whose leading dim doesn't match the row count (e.g. AdamAsync β-power
-    scalars) pass through unchanged."""
+    scalars) pass through unchanged.
+
+    ``fills`` is the optimizer's ``SparseOptimizer.fills`` pytree: vacated /
+    fresh slot rows are re-filled with the optimizer's init value (adagrad
+    acc = 0.1, ...), preserving the unclaimed-rows-hold-init invariant —
+    zero-filling them poisons the first update of any key that later claims
+    the row (rsqrt(0) on a zero gradient writes NaN)."""
     old_rows = int(old_to_new.shape[0]) + 1
 
-    def fix(leaf):
+    def fix(leaf, fill):
         if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == old_rows:
-            return ev_mod.permute_rows(leaf, old_to_new, new_cap)
+            return ev_mod.permute_rows(leaf, old_to_new, new_cap, fill=fill)
         return leaf
 
-    return jax.tree_util.tree_map(fix, slot_state)
+    if fills is None:
+        return jax.tree_util.tree_map(lambda l: fix(l, 0), slot_state)
+    return jax.tree_util.tree_map(fix, slot_state, fills)
 
 
 REGISTRY = {

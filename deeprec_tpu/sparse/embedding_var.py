@@ -171,11 +171,20 @@ def lookup_or_create_unique(
     ukeys, counts = uniq.ukeys, uniq.counts
     gs = jnp.asarray(global_step, jnp.int32)
 
+    # Frequency counts ONCE per lookup batch per key — the reference's
+    # effective PS-side semantics (embedding_lookup_sparse dedups ids before
+    # KvResourceGather, embedding_ops.py:480, so the filter sees each key at
+    # most once per batch). Within-batch multiplicity does NOT count, and the
+    # sharded owner (which receives each key once per requesting device)
+    # counts the same 1 — the local and sharded trainers admit identically.
+    freq_inc = (counts > 0).astype(jnp.int32)
+
     cbf_counters = state.cbf
     if config.cbf_filter is not None:
         # Bloom-gated insertion: keys below the admission count never claim
         # a table slot — their counts live in the CBF only.
-        cbf_counters, est = _cbf_bump_and_estimate(cbf_counters, config.cbf_filter, ukeys, counts)
+        cbf_counters, est = _cbf_bump_and_estimate(
+            cbf_counters, config.cbf_filter, ukeys, freq_inc)
         insertable = est >= config.cbf_filter.filter_freq
         gated = K.where(insertable, ukeys, K.empty_like(ukeys.shape))
     else:
@@ -205,10 +214,11 @@ def lookup_or_create_unique(
     create_steps = state.create_steps.at[dest].set(gs, mode="drop",
                                                    unique_indices=True)
 
-    # freq/version bookkeeping for every live unique key
+    # freq/version bookkeeping for every live unique key (freq += 1 per
+    # batch the key appears in; see freq_inc above)
     live = (counts > 0) & (slots != cap)
     mdest = jnp.where(live, slots, cap + 1)
-    freqs = state.freqs.at[mdest].add(counts, mode="drop", unique_indices=True)
+    freqs = state.freqs.at[mdest].add(freq_inc, mode="drop", unique_indices=True)
     versions = state.versions.at[mdest].set(gs, mode="drop", unique_indices=True)
 
     # Keep the null row pristine (values never scatter to it: destinations

@@ -222,6 +222,10 @@ def lookup_or_insert(
         # lane may be taken, but the next empty lane is available next
         # round); keys whose bucket was full advance
         off = jnp.where(pending & ~has_empty, off + 1, off)
+        # a key past the probe bound can neither match (stored keys live
+        # within max_probes buckets of home) nor claim (a claim there would
+        # be invisible to lookup's bounded probe): report overflow instead
+        pending = pending & (off < max_probes)
         return rounds + 1, key_hi, key_lo, pending, off, slots, found
 
     _, key_hi, key_lo, pending, off, slots, found = jax.lax.while_loop(
@@ -230,7 +234,9 @@ def lookup_or_insert(
          jnp.zeros((n,), jnp.int32), slots, found))
 
     created = (slots != cap) & ~found & ~invalid
-    n_failed = jnp.sum(pending).astype(jnp.int32)
+    # failures = valid keys that neither matched nor claimed (whether they
+    # ran out of rounds or were dropped at the probe bound above)
+    n_failed = jnp.sum(~invalid & (slots == cap)).astype(jnp.int32)
     new_table = HashTable(
         key_hi=key_hi,
         key_lo=key_lo,

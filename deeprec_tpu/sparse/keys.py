@@ -76,7 +76,7 @@ def from_int32(ids) -> Keys:
 def to_numpy(keys: Keys) -> np.ndarray:
     hi = np.asarray(keys.hi).astype(np.int64)
     lo = np.asarray(keys.lo).astype(np.uint32).astype(np.int64)
-    return (hi << 64 - 32) | lo if False else ((hi << np.int64(32)) | lo)
+    return (hi << np.int64(32)) | lo
 
 
 def empty_like(shape) -> Keys:

@@ -55,12 +55,13 @@ class TestLookup:
         versions = np.asarray(st.versions)
         i5 = int(np.where(uk == 5)[0][0])
         i9 = int(np.where(uk == 9)[0][0])
-        assert freqs[slots[i5]] == 3
+        # freq counts batches containing the key, not occurrences
+        assert freqs[slots[i5]] == 1
         assert freqs[slots[i9]] == 1
         assert versions[slots[i5]] == 3
         # second batch accumulates
         st, aux = ev.lookup_or_create(st, cfg, _ids([5]), 7)
-        assert np.asarray(st.freqs)[slots[i5]] == 4
+        assert np.asarray(st.freqs)[slots[i5]] == 2
         assert np.asarray(st.versions)[slots[i5]] == 7
 
     def test_null_row_stays_zero(self):
@@ -98,10 +99,16 @@ class TestFilters:
         st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 2)
         assert bool(np.asarray(aux.admitted)[0])  # freq now 3
 
-    def test_counter_filter_multiplicity_counts(self):
+    def test_counter_filter_counts_once_per_batch(self):
+        # within-batch multiplicity counts 1 (the reference dedups ids per
+        # batch before the PS gather) — identical on local/sharded trainers
         cfg = _cfg(counter_filter=dr.CounterFilter(filter_freq=3))
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids([42, 42, 42]), 0)
+        assert not bool(np.asarray(aux.admitted)[0])
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42, 42]), 1)
+        assert not bool(np.asarray(aux.admitted)[0])
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 2)
         assert bool(np.asarray(aux.admitted)[0])
 
     def test_cbf_filter_saves_slots(self):
@@ -116,10 +123,12 @@ class TestFilters:
         assert int(st.index.size.sum()) == 3  # third sighting crosses freq=3
         assert np.asarray(aux.admitted).all()
 
-    def test_cbf_multiplicity_admits_immediately(self):
+    def test_cbf_counts_once_per_batch(self):
         cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=1000))
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids([9, 9]), 0)
+        assert int(st.index.size.sum()) == 0  # multiplicity counts once
+        st, aux = ev.lookup_or_create(st, cfg, _ids([9]), 1)
         assert int(st.index.size.sum()) == 1
 
 
