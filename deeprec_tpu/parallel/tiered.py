@@ -5,7 +5,10 @@ device mesh (parallel/trainer.py) and HBM + host-DRAM multi-tier storage
 (train/tiered_trainer.py). The host tier is per-process; rows are keyed by
 feature id, and promotion/demotion respect the mesh's owner routing
 (parallel/sharded._owner_of) so a promoted row lands on the shard that
-serves it.
+serves it. Payloads carry the FULL row state — values, freq/version/
+create_step (exact int bit patterns) and optimizer slot rows — via the
+shared layout in sparse/tier_payload.py, so the sharded tier path has the
+same fidelity as the single-device one.
 
 Mechanics (single-controller; on multi-host pods each process manages the
 tier for its own shards):
@@ -28,11 +31,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import StorageType
 from ..sparse import embedding_var as ev
-from ..sparse import hashtable as ht
 from ..sparse import keys as K
+from ..sparse import tier_payload as TP
 from ..optim.sparse import permute_slot_state
 from ..train.trainer import TableBundle, TrainState
 from ..utils.native import HostKV
+from . import multihost as mh
 from .sharded import OWNER_SEED
 from .trainer import ShardedTrainer
 
@@ -55,84 +59,101 @@ class TieredShardedTrainer(ShardedTrainer):
             state = self._promote_for_batch(state, batch)
         return super().train_step(state, batch)
 
+    def _payload_spec(self, name, bundle) -> TP.PayloadSpec:
+        # row leaves in the stacked global view have leading dim S*(cap+1)
+        cap1 = self.collections[name].config.capacity + 1
+        return TP.spec(bundle.ev.values.shape[-1], bundle.slot, self.S * cap1)
+
     # -- promotion ------------------------------------------------------------
     def _promote_for_batch(self, state: TrainState, batch) -> TrainState:
+        """Probe the host tier(s) for the batch's ids; promote hits onto
+        their owner shards. Multi-process: tiers are per-process and hold
+        only locally-owned keys, but the batch is per-process too — the ids
+        are allgathered so the OWNER process sees every id in the global
+        batch (otherwise a demoted key recreated via the exchange would
+        later be clobbered by its stale tier row). Every branch below that
+        decides whether to run the collective insert is agreed globally."""
         new_tables = dict(state.tables)
         changed = False
         for name, kv in self.tiers.items():
-            if kv is None or len(kv) == 0:
+            # global skip: no process has tier rows for this table
+            if mh.all_max(len(kv) if kv is not None else 0) == 0:
                 continue
             coll = self.collections[name]
             ids = np.unique(coll.pack_ids_np(batch))
-            ids = ids[ids != -1]
-            payload, found = kv.lookup(ids)
-            if not found.any():
-                continue
+            ids = mh.allgather_varlen(ids[ids != -1])
+            ids = np.unique(ids)
+            if kv is not None and len(kv):
+                payload, found = kv.lookup(ids)
+            else:
+                payload = np.zeros((len(ids), 1), np.float32)
+                found = np.zeros((len(ids),), bool)
             hit_ids = ids[found]
             hit_rows = payload[found]
-            # bucket hits by owner shard; pad buckets to a shared pow2
+            lo, hi_ = mh.local_shard_range(self.mesh, self.axis, self.S)
+            S_local = hi_ - lo
+            # bucket hits by LOCAL owner shard; shared global pad width
             own = (K.hash32_np(hit_ids, seed=OWNER_SEED)
                    % np.uint32(self.S)).astype(np.int64)
-            per = max(int(np.bincount(own, minlength=self.S).max()), 1)
-            n_pad = max(8, 1 << (per - 1).bit_length())
-            bk = np.full((self.S, n_pad), -1, np.int64)
-            br = np.zeros((self.S, n_pad, hit_rows.shape[1]), np.float32)
-            fill = np.zeros(self.S, np.int64)
+            local = (own >= lo) & (own < hi_)  # tier may hold foreign keys
+            #                                    after a resharded restore
+            hit_ids, hit_rows, own = hit_ids[local], hit_rows[local], own[local]
+            per = int(np.bincount(own - lo, minlength=S_local).max()) \
+                if len(own) else 0
+            n_pad = mh.all_max(max(8, 1 << max(per - 1, 0).bit_length()))
+            if mh.all_max(len(own)) == 0:
+                continue
+            width = self._payload_spec(name, new_tables[name]).width
+            bk = np.full((S_local, n_pad), -1, np.int64)
+            br = np.zeros((S_local, n_pad, width), np.float32)
+            fill = np.zeros(S_local, np.int64)
             pos = np.zeros(len(hit_ids), np.int64)
-            for i, s in enumerate(own):
+            for i, s in enumerate(own - lo):
                 pos[i] = fill[s]
                 bk[s, fill[s]] = hit_ids[i]
                 br[s, fill[s]] = hit_rows[i]
                 fill[s] += 1
-            bundle, live = self._insert_promoted(
-                name, new_tables[name], bk, br, int(np.asarray(state.step)))
+            bundle, live = self._insert_promoted(name, new_tables[name], bk, br)
             new_tables[name] = bundle
-            live = np.asarray(live)  # [S, n_pad]
+            # local rows of the [S, n_pad] live mask
+            live_l = mh.addressable_blocks(live, self.S, 1)
+            live_np = np.concatenate([live_l[s] for s in range(lo, hi_)])
             # erase only rows confirmed inserted (a full shard can refuse)
-            confirmed = live[own, pos]
+            confirmed = live_np[own - lo, pos] if len(own) else \
+                np.zeros((0,), bool)
             if confirmed.any():
                 kv.erase(hit_ids[confirmed])
             changed = True
         return state._replace(tables=new_tables) if changed else state
 
     def _insert_promoted(self, name, bundle: TableBundle,
-                         bucket_keys: np.ndarray, bucket_rows: np.ndarray,
-                         gs: int):
+                         bucket_keys: np.ndarray, bucket_rows: np.ndarray):
+        """``bucket_keys/rows`` are the LOCAL shards' buckets
+        ([S_local, n_pad(, W)]); assembled into global arrays here."""
         coll = self.collections[name]
         cfg = coll.config
-        key = (name, bucket_keys.shape[1], bucket_rows.shape[2])
+        spec = self._payload_spec(name, bundle)
+        key = (name, bucket_keys.shape[1], bucket_rows.shape[2], cfg.capacity)
         if key not in self._promote_fns:
             axis = self.axis
             bundle_spec = self._bundle_spec(name)
 
-            def per_shard(bundle, khi, klo, rows, step):
-                st = bundle.ev
+            def per_shard(bundle, khi, klo, rows):
                 keys = K.Keys(khi[0], klo[0])
-                index, slots, _ = ht.lookup_or_insert(st.index, keys,
-                                                      cfg.max_probes)
-                live = ~K.is_empty(keys) & (slots != cfg.capacity)
-                dest = jnp.where(live, slots, cfg.capacity + 1)
-                values = st.values.at[dest].set(
-                    rows[0].astype(st.values.dtype), mode="drop",
-                    unique_indices=True)
-                # stamp the current step so a fresh promotion is not
-                # immediately re-evicted by GlobalStepEvict
-                versions = st.versions.at[dest].set(
-                    step[0], mode="drop", unique_indices=True)
-                return bundle._replace(ev=st._replace(
-                    index=index, values=values, versions=versions)), live[None]
+                bundle, live = TP.scatter(bundle, cfg, spec, keys, rows[0])
+                return bundle, live[None]
 
             self._promote_fns[key] = jax.jit(jax.shard_map(
                 per_shard, mesh=self.mesh,
                 in_specs=(bundle_spec, P(axis, None), P(axis, None),
-                          P(axis, None, None), P(axis)),
+                          P(axis, None, None)),
                 out_specs=(bundle_spec, P(axis, None)), check_vma=False))
         hi, lo = K.split_np(bucket_keys)
-        steps = jax.device_put(jnp.full((self.S,), gs, jnp.int32),
-                               NamedSharding(self.mesh, P(self.axis)))
-        return self._promote_fns[key](bundle, jnp.asarray(hi),
-                                      jnp.asarray(lo),
-                                      jnp.asarray(bucket_rows), steps)
+        g = lambda spec_, x: mh.globalize(self.mesh, spec_, x)
+        return self._promote_fns[key](bundle,
+                                      g(P(self.axis, None), hi),
+                                      g(P(self.axis, None), lo),
+                                      g(P(self.axis, None, None), bucket_rows))
 
     def _bundle_spec(self, name):
         return super()._table_spec(self.collections[name],
@@ -140,7 +161,11 @@ class TieredShardedTrainer(ShardedTrainer):
 
     # -- demotion ---------------------------------------------------------------
     def maybe_demote(self, state: TrainState) -> TrainState:
-        """Per-shard policy-cold rows -> host tier; each shard shrinks."""
+        """Per-shard policy-cold rows -> host tier (full payload); each
+        shard shrinks. Multi-process: every process demotes only its
+        addressable shards into its own tier; the shrink decision is agreed
+        globally (the shard_map rebuild is a collective every process must
+        enter)."""
         new_tables = dict(state.tables)
         changed = False
         gs = int(state.step)
@@ -152,12 +177,27 @@ class TieredShardedTrainer(ShardedTrainer):
             bundle = new_tables[name]
             cap1 = cfg.capacity + 1
             cap = cfg.capacity
-            key_hi = np.asarray(bundle.ev.index.key_hi).reshape(self.S, cap)
-            key_lo = np.asarray(bundle.ev.index.key_lo).reshape(self.S, cap)
-            values = np.asarray(bundle.ev.values).reshape(self.S, cap1, -1)
-            versions = np.asarray(bundle.ev.versions).reshape(self.S, cap1)
+            spec = self._payload_spec(name, bundle)
+            key_hi = mh.addressable_blocks(bundle.ev.index.key_hi, self.S, cap)
+            key_lo = mh.addressable_blocks(bundle.ev.index.key_lo, self.S, cap)
+            values = mh.addressable_blocks(bundle.ev.values, self.S, cap1)
+            freqs = mh.addressable_blocks(bundle.ev.freqs, self.S, cap1)
+            versions = mh.addressable_blocks(bundle.ev.versions, self.S, cap1)
+            create_steps = mh.addressable_blocks(bundle.ev.create_steps,
+                                                 self.S, cap1)
+            # per-shard views of the row-shaped slot leaves (leading dim
+            # cap1 per shard, matching tier_payload.pack_np)
+            leaves = jax.tree_util.tree_leaves(bundle.slot)
+            slot_blocks = {sl.index: mh.addressable_blocks(leaves[sl.index],
+                                                           self.S, cap1)
+                           for sl in spec.slot_rows}
+
+            def shard_leaves(s):
+                return [slot_blocks[i][s] if i in slot_blocks else None
+                        for i in range(len(leaves))]
+
             any_cold = False
-            for s in range(self.S):
+            for s in sorted(key_hi):
                 occupied = ~((key_hi[s] == -1) & (key_lo[s] == -1))
                 cold = ev.cold_mask_np(cfg, values[s], versions[s],
                                        occupied, gs)
@@ -165,13 +205,15 @@ class TieredShardedTrainer(ShardedTrainer):
                     continue
                 any_cold = True
                 idx = np.nonzero(cold)[0]
-                keys64 = ((key_hi[s, idx].astype(np.int64) << 32)
-                          | key_lo[s, idx].astype(np.uint32).astype(np.int64))
+                keys64 = ((key_hi[s][idx].astype(np.int64) << 32)
+                          | key_lo[s][idx].astype(np.uint32).astype(np.int64))
                 if self.tiers[name] is None:
-                    self.tiers[name] = HostKV(values.shape[2], 1 << 16)
-                self.tiers[name].upsert(keys64,
-                                        values[s, idx].astype(np.float32))
-            if not any_cold:
+                    self.tiers[name] = HostKV(spec.width, 1 << 16)
+                payload = TP.pack_np(spec, idx, values[s], freqs[s],
+                                     versions[s], create_steps[s],
+                                     shard_leaves(s))
+                self.tiers[name].upsert(keys64, payload)
+            if not mh.all_max(int(any_cold)):
                 continue
             new_tables[name] = self._shrink_sharded(name, bundle, gs)
             changed = True
@@ -180,21 +222,24 @@ class TieredShardedTrainer(ShardedTrainer):
     def _shrink_sharded(self, name, bundle: TableBundle, gs: int):
         coll = self.collections[name]
         cfg = coll.config
-        if name not in self._demote_fns:
+        fills = self.sparse_optimizers[name].fills
+        fn_key = (name, cfg.capacity)  # capacity can grow between calls
+        if fn_key not in self._demote_fns:
             bundle_spec = self._bundle_spec(name)
 
             def per_shard(bundle, step):
                 new_ev, perm = ev.shrink(bundle.ev, cfg, step[0])
-                slot = permute_slot_state(bundle.slot, perm, cfg.capacity)
+                slot = permute_slot_state(bundle.slot, perm, cfg.capacity,
+                                          fills=fills)
                 return bundle._replace(ev=new_ev, slot=slot)
 
-            self._demote_fns[name] = jax.jit(jax.shard_map(
+            self._demote_fns[fn_key] = jax.jit(jax.shard_map(
                 per_shard, mesh=self.mesh,
                 in_specs=(bundle_spec, P(self.axis)),
                 out_specs=bundle_spec, check_vma=False))
-        steps = jnp.full((self.S,), gs, jnp.int32)
-        steps = jax.device_put(steps, NamedSharding(self.mesh, P(self.axis)))
-        return self._demote_fns[name](bundle, steps)
+        steps = mh.host_to_global(self.mesh, P(self.axis),
+                                  np.full((self.S,), gs, np.int32))
+        return self._demote_fns[fn_key](bundle, steps)
 
     def host_tier_rows(self, name: str) -> int:
         kv = self.tiers.get(name)

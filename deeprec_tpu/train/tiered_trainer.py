@@ -1,13 +1,14 @@
 """TieredTrainer: multi-tier (HBM + host-DRAM) embedding training.
 
-The trainer-level integration of :mod:`deeprec_tpu.sparse.tiered`
-(reference: DeepRec's StorageType DRAM/PMEM multi-tier EmbeddingVariable,
+The trainer-level integration of the host tier (reference: DeepRec's
+StorageType DRAM/PMEM multi-tier EmbeddingVariable,
 embedding/config.proto:5 + docs/Embedding-Variable.md storage sections,
 exercised by modelzoo/features/pmem): tables whose ``StorageOption`` is
 ``HBM_DRAM`` keep hot rows in device HBM and spill policy-cold rows to a
 native host-DRAM KV (C++ arena, utils/native.py), with **full fidelity**
 — values, freq/version metadata, and optimizer slot rows all survive
-demotion and return intact on promotion.
+demotion and return intact on promotion (payload layout:
+sparse/tier_payload.py — integer meta round-trips as exact bit patterns).
 
 Mechanics (host at step boundaries, device step stays one jit):
 
@@ -27,22 +28,11 @@ import numpy as np
 
 from ..config import StorageType
 from ..sparse import embedding_var as ev
-from ..sparse import hashtable as ht
 from ..sparse import keys as K
+from ..sparse import tier_payload as TP
 from ..utils.native import HostKV
 from ..optim.sparse import permute_slot_state
 from .trainer import TableBundle, Trainer, TrainState
-
-
-def _slot_row_leaves(slot_state, cap1: int):
-    """(leaf_path_index, per-row flattened width) for row-shaped leaves."""
-    leaves = jax.tree_util.tree_leaves(slot_state)
-    out = []
-    for i, leaf in enumerate(leaves):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap1:
-            w = int(np.prod(leaf.shape[1:], dtype=np.int64)) if leaf.ndim > 1 else 1
-            out.append((i, w, leaf.shape[1:], leaf.dtype))
-    return out
 
 
 class TieredTrainer(Trainer):
@@ -51,12 +41,9 @@ class TieredTrainer(Trainer):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.tiers: Dict[str, HostKV] = {}
-        self._payload: Dict[str, list] = {}
         self._insert_fns: Dict = {}  # (name, n_pad, width) -> jitted insert
         for name, coll in self.collections.items():
             if coll.config.storage.storage_type == StorageType.HBM_DRAM:
-                # payload per row: values + freq + version + create_step +
-                # flattened slot rows (all as f32 bit patterns)
                 self.tiers[name] = None  # sized lazily at first demote
 
     # -- promotion -----------------------------------------------------------
@@ -65,13 +52,10 @@ class TieredTrainer(Trainer):
             state = self._promote_for_batch(state, batch)
         return super().train_step(state, batch)
 
-    def _payload_spec(self, name, bundle):
+    def _payload_spec(self, name, bundle) -> TP.PayloadSpec:
         coll = self.collections[name]
         cap1 = coll.config.capacity + 1
-        slots = _slot_row_leaves(bundle.slot, cap1)
-        dim = bundle.ev.values.shape[1]  # includes fused slot columns
-        width = dim + 3 + sum(w for _, w, _, _ in slots)
-        return dim, slots, width
+        return TP.spec(bundle.ev.values.shape[1], bundle.slot, cap1)
 
     def _promote_for_batch(self, state: TrainState, batch) -> TrainState:
         new_tables = dict(state.tables)
@@ -110,46 +94,13 @@ class TieredTrainer(Trainer):
                          payload: jax.Array):
         coll = self.collections[name]
         cfg = coll.config
-        dim, slot_rows, _w = self._payload_spec(name, bundle)
-        cache_key = (name, int(keys.hi.shape[0]), int(payload.shape[1]))
-        if cache_key in self._insert_fns:
-            return self._insert_fns[cache_key](bundle, keys, payload)
-
-        @jax.jit
-        def insert(bundle, keys, payload):
-            st = bundle.ev
-            cap = cfg.capacity
-            index, slots, _created = ht.lookup_or_insert(st.index, keys,
-                                                         cfg.max_probes)
-            live = ~K.is_empty(keys) & (slots != cap)
-            dest = jnp.where(live, slots, cap + 1)
-            o = 0
-            values = st.values.at[dest].set(
-                payload[:, :dim].astype(st.values.dtype), mode="drop",
-                unique_indices=True)
-            o = dim
-            freqs = st.freqs.at[dest].set(
-                payload[:, o].astype(jnp.int32), mode="drop", unique_indices=True)
-            versions = st.versions.at[dest].set(
-                payload[:, o + 1].astype(jnp.int32), mode="drop", unique_indices=True)
-            create_steps = st.create_steps.at[dest].set(
-                payload[:, o + 2].astype(jnp.int32), mode="drop", unique_indices=True)
-            o += 3
-            leaves = jax.tree_util.tree_leaves(bundle.slot)
-            treedef = jax.tree_util.tree_structure(bundle.slot)
-            for i, w, shape, dtype in slot_rows:
-                part = payload[:, o:o + w].reshape((keys.shape[0],) + shape)
-                leaves[i] = leaves[i].at[dest].set(
-                    part.astype(dtype), mode="drop", unique_indices=True)
-                o += w
-            slot = jax.tree_util.tree_unflatten(treedef, leaves)
-            return TableBundle(
-                ev=st._replace(index=index, values=values, freqs=freqs,
-                               versions=versions, create_steps=create_steps),
-                slot=slot), live
-
-        self._insert_fns[cache_key] = insert
-        return insert(bundle, keys, payload)
+        spec = self._payload_spec(name, bundle)
+        cache_key = (name, int(keys.hi.shape[0]), int(payload.shape[1]),
+                     cfg.capacity)
+        if cache_key not in self._insert_fns:
+            self._insert_fns[cache_key] = jax.jit(
+                lambda b, k, p: TP.scatter(b, cfg, spec, k, p))
+        return self._insert_fns[cache_key](bundle, keys, payload)
 
     # -- demotion --------------------------------------------------------------
     def maybe_demote(self, state: TrainState) -> TrainState:
@@ -165,7 +116,6 @@ class TieredTrainer(Trainer):
             if cfg.evict is None:
                 continue
             bundle = new_tables[name]
-            cap = cfg.capacity
             key_hi = np.asarray(bundle.ev.index.key_hi)
             key_lo = np.asarray(bundle.ev.index.key_lo)
             occupied = ~((key_hi == -1) & (key_lo == -1))
@@ -178,26 +128,21 @@ class TieredTrainer(Trainer):
             idx = np.nonzero(cold)[0]
             keys64 = ((key_hi[idx].astype(np.int64) << 32)
                       | key_lo[idx].astype(np.uint32).astype(np.int64))
-            dim, slot_rows, width = self._payload_spec(name, bundle)
+            spec = self._payload_spec(name, bundle)
             if self.tiers[name] is None:
-                self.tiers[name] = HostKV(width, capacity_hint=1 << 16)
-            payload = np.zeros((idx.shape[0], width), np.float32)
-            payload[:, :dim] = np.asarray(bundle.ev.values, np.float32)[idx]
-            payload[:, dim] = np.asarray(bundle.ev.freqs)[idx]
-            payload[:, dim + 1] = versions[idx]
-            payload[:, dim + 2] = np.asarray(bundle.ev.create_steps)[idx]
-            o = dim + 3
-            leaves = jax.tree_util.tree_leaves(bundle.slot)
-            for i, w, shape, dtype in slot_rows:
-                payload[:, o:o + w] = np.asarray(
-                    leaves[i], np.float32)[idx].reshape(idx.shape[0], -1)
-                o += w
+                self.tiers[name] = HostKV(spec.width, capacity_hint=1 << 16)
+            payload = TP.pack_np(
+                spec, idx, np.asarray(bundle.ev.values),
+                np.asarray(bundle.ev.freqs), versions,
+                np.asarray(bundle.ev.create_steps),
+                [np.asarray(l) for l in jax.tree_util.tree_leaves(bundle.slot)])
             self.tiers[name].upsert(keys64, payload)
 
             new_ev, perm = ev.shrink(bundle.ev, cfg,
                                      jnp.asarray(gs, jnp.int32))
-            slot = permute_slot_state(bundle.slot, perm, cfg.capacity)
-            new_tables[name] = TableBundle(ev=new_ev, slot=slot)
+            slot = permute_slot_state(bundle.slot, perm, cfg.capacity,
+                                      fills=self.sparse_optimizers[name].fills)
+            new_tables[name] = bundle._replace(ev=new_ev, slot=slot)
             changed = True
         return state._replace(tables=new_tables) if changed else state
 
