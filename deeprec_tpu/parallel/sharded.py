@@ -64,6 +64,22 @@ def _owner_of(keys: K.Keys, num_shards: int) -> jax.Array:
     return jnp.where(K.is_empty(keys), num_shards, own)
 
 
+def _bucket_positions(owner: jax.Array) -> jax.Array:
+    """Rank of each element among same-owner elements (its position within
+    the send bucket). Computed in the sorted order via run-start cummax —
+    NOT a duplicate-index scatter-min, which XLA serializes on TPU
+    (~1µs/element; the one forbidden pattern of docs/Performance.md)."""
+    U = owner.shape[0]
+    iota = jnp.arange(U, dtype=jnp.int32)
+    srt_owner, srt_idx = jax.lax.sort((owner, iota), num_keys=2)
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                srt_owner[1:] != srt_owner[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    # srt_idx is a permutation -> collision-free scatter
+    return jnp.zeros((U,), jnp.int32).at[srt_idx].set(
+        iota - run_start, unique_indices=True)
+
+
 def exchange_lookup_or_create(
     coll: EmbeddingCollection,
     state: ev.EVState,
@@ -84,16 +100,7 @@ def exchange_lookup_or_create(
     U = uniq.ukeys.shape[0]
     owner = _owner_of(uniq.ukeys, S)
 
-    # position within each destination bucket: rank among same-owner ids.
-    # sort by owner (stable on ties by carrying the index as a second key),
-    # index-within-run = i - first_index_of_run, scatter back.
-    iota = jnp.arange(U, dtype=jnp.int32)
-    sorted_pair = jax.lax.sort((owner, iota), num_keys=2)
-    srt_owner, srt_idx = sorted_pair
-    first_idx = jnp.full((S + 2,), U, jnp.int32).at[srt_owner].min(iota, mode="drop")
-    pos_sorted = iota - first_idx[srt_owner]
-    pos = jnp.zeros((U,), jnp.int32).at[srt_idx].set(pos_sorted)
-
+    pos = _bucket_positions(owner)
     routed = (owner < S) & (pos < bucket_cap)
     # shape (1,): shardable across the mesh axis when returned from shard_map
     n_dropped = jnp.sum((owner < S) & (pos >= bucket_cap)).astype(jnp.int32)[None]
@@ -204,11 +211,7 @@ def exchange_lookup_readonly(
     uniq = unique(flat_ids, coll.config.max_unique)
     U = uniq.ukeys.shape[0]
     owner = _owner_of(uniq.ukeys, S)
-    iota = jnp.arange(U, dtype=jnp.int32)
-    srt_owner, srt_idx = jax.lax.sort((owner, iota), num_keys=2)
-    first_idx = jnp.full((S + 2,), U, jnp.int32).at[srt_owner].min(iota, mode="drop")
-    pos_sorted = iota - first_idx[srt_owner]
-    pos = jnp.zeros((U,), jnp.int32).at[srt_idx].set(pos_sorted)
+    pos = _bucket_positions(owner)
     routed = (owner < S) & (pos < bucket_cap)
 
     dest = jnp.where(routed, owner * bucket_cap + pos, S * bucket_cap)

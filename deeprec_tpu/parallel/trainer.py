@@ -31,7 +31,8 @@ from ..sparse import embedding_var as ev
 from ..sparse import hashtable as ht
 from ..sparse import keys as K
 from ..train import metrics as metrics_lib
-from ..train.trainer import TableBundle, TrainState, bce_loss, default_forward
+from ..train.trainer import (TableBundle, Trainer, TrainState, bce_loss,
+                             default_forward)
 from . import sharded
 
 
@@ -57,6 +58,7 @@ class ShardedTrainer:
         forward: Optional[Callable] = None,
         bucket_slack: float = 2.0,
         aux_loss_weight: float = 1.0,
+        microbatches: int = 1,
     ):
         self.model = model
         self.numeric_columns = list(numeric_columns)
@@ -69,6 +71,7 @@ class ShardedTrainer:
         self.forward = forward or default_forward
         self.bucket_slack = bucket_slack
         self.aux_loss_weight = aux_loss_weight
+        self.microbatches = microbatches
 
         self.rejit()
 
@@ -108,7 +111,8 @@ class ShardedTrainer:
             cbf=P(self.axis) if coll.config.cbf_filter else None,
         )
         return TableBundle(ev=ev_spec,
-                           slot=jax.tree_util.tree_map(slot_leaf_spec, slot_example))
+                           slot=jax.tree_util.tree_map(slot_leaf_spec, slot_example),
+                           health=P(self.axis, None))
 
     def _state_spec(self):
         self._slot_examples = {
@@ -133,31 +137,33 @@ class ShardedTrainer:
                        self.sparse_optimizers, self.dense_optimizer,
                        forward=self.forward)
         st = base.init(rng, sample_batch)
-        repl = NamedSharding(self.mesh, P())
-        rowsharded = NamedSharding(self.mesh, P(self.axis))
+        from .multihost import host_to_global
+        put_repl = lambda x: host_to_global(self.mesh, P(), x)
+        put_rows = lambda x: host_to_global(self.mesh, P(self.axis), x)
 
         def tile_table(bundle, coll):
-            cap1 = coll.config.capacity + 1
             def tile(leaf):
                 if hasattr(leaf, "ndim") and leaf.ndim >= 1:
-                    t = jnp.tile(leaf, (self.S,) + (1,) * (leaf.ndim - 1))
-                    return jax.device_put(t, rowsharded)
-                return jax.device_put(leaf, repl)
+                    t = np.tile(np.asarray(leaf),
+                                (self.S,) + (1,) * (leaf.ndim - 1))
+                    return put_rows(t)
+                return put_repl(leaf)
             fresh_ev = ev.create(coll.config)
             fresh_slot = self.sparse_optimizers_of(coll).init(fresh_ev.values)
             return TableBundle(
                 ev=jax.tree_util.tree_map(tile, fresh_ev),
                 slot=jax.tree_util.tree_map(tile, fresh_slot),
+                health=put_rows(np.zeros((self.S, 3), np.int32)),
             )
 
         tables = {name: tile_table(st.tables[name], coll)
                   for name, coll in self.collections.items()}
         return TrainState(
-            params=jax.device_put(st.params, repl),
-            opt_state=jax.device_put(st.opt_state, repl),
+            params=jax.tree_util.tree_map(put_repl, st.params),
+            opt_state=jax.tree_util.tree_map(put_repl, st.opt_state),
             tables=tables,
-            metrics=jax.device_put(metrics_lib.create(), repl),
-            step=jax.device_put(st.step, repl),
+            metrics=jax.tree_util.tree_map(put_repl, metrics_lib.create()),
+            step=put_repl(st.step),
         )
 
     def sparse_optimizers_of(self, coll):
@@ -195,6 +201,21 @@ class ShardedTrainer:
         return max(c, 8)
 
     # -- per-device step bodies (inside shard_map) ---------------------------
+    def _bump_health(self, health, coll, aux: "sharded.ShardedAux"):
+        """Per-device health accumulation (see TableBundle.health): bucket
+        drops + dedup saturation on either side of the exchange."""
+        if health is None:
+            return None
+        mu = coll.config.max_unique
+        nu_l = aux.local_uniq.n_unique.astype(jnp.int32)
+        nu_r = aux.recv_uniq.n_unique.astype(jnp.int32)
+        nu = jnp.maximum(nu_l, nu_r)
+        sat = (((nu_l >= mu) | (nu_r >= mu)).astype(jnp.int32)
+               if mu else jnp.int32(0))
+        return jnp.stack([health[:, 0] + aux.n_dropped,
+                          health[:, 1] + sat,
+                          jnp.maximum(health[:, 2], nu)], axis=-1)
+
     def _sparse_forward(self, tables, cats, step):
         new_tables, auxs, caps = {}, {}, {}
         for name, coll in self.collections.items():
@@ -203,15 +224,18 @@ class ShardedTrainer:
             caps[name] = cap
             ev_state, aux = sharded.exchange_lookup_or_create(
                 coll, tables[name].ev, flat, step, self.axis, cap)
-            new_tables[name] = tables[name]._replace(ev=ev_state)
+            health = self._bump_health(tables[name].health, coll, aux)
+            new_tables[name] = tables[name]._replace(ev=ev_state,
+                                                     health=health)
             auxs[name] = aux
         return new_tables, auxs, caps
 
-    def _train_step(self, state: TrainState, dense, cats, labels):
-        step = state.step
-        if dense is not None:
-            dense = normalize_dense(self.numeric_columns, dense)
-        tables, auxs, caps = self._sparse_forward(state.tables, cats, step)
+    def _microstep(self, params, tables, dense, cats, labels, step):
+        """One (micro)batch through the full sharded exchange: lookup ->
+        loss/grads -> owner-side sparse apply. Returns per-device dense
+        grads (pmean deferred to the caller so k microbatches cost one
+        collective, not k)."""
+        tables, auxs, caps = self._sparse_forward(tables, cats, step)
         urows = {name: sharded.gather_owner_rows(
                      tables[name].ev.values, auxs[name],
                      self.collections[name].config)
@@ -231,11 +255,10 @@ class ShardedTrainer:
             return loss, logits
 
         (loss, logits), (gp, gu) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.params, urows)
+            loss_fn, argnums=(0, 1), has_aux=True)(params, urows)
 
-        # dense: sync DP (psum-mean); sparse: owner-side apply of the summed
-        # cotangents scaled to the global batch mean.
-        gp = jax.lax.pmean(gp, self.axis)
+        # sparse: owner-side apply of the summed cotangents scaled to the
+        # global batch mean
         inv_s = 1.0 / self.S
         new_tables = {}
         for name, coll in self.collections.items():
@@ -243,16 +266,58 @@ class ShardedTrainer:
             ev_state, slot = sharded.apply_gradients_sharded(
                 coll, bundle.ev, self.sparse_optimizers[name], bundle.slot,
                 auxs[name], gu[name] * inv_s, step)
-            new_tables[name] = TableBundle(ev=ev_state, slot=slot)
+            new_tables[name] = bundle._replace(ev=ev_state, slot=slot)
+        return new_tables, gp, loss, logits
 
+    def _train_step(self, state: TrainState, dense, cats, labels):
+        step = state.step
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+
+        if self.microbatches == 1:
+            tables, gp, loss, logits = self._microstep(
+                state.params, state.tables, dense, cats, labels, step)
+        else:
+            # AutoMicroBatch on the mesh (PipelineGraph analog,
+            # graph_execution_state.cc:627): lax.scan over local microbatch
+            # slices; sparse updates apply per microbatch, dense grads
+            # accumulate. Collectives (all_to_all / psum at the end) ride
+            # inside/after the loop exactly as in the single step.
+            k = self.microbatches
+            mb_dense = (None if dense is None else
+                        dense.reshape(k, dense.shape[0] // k, *dense.shape[1:]))
+            mb_labels = labels.reshape(k, labels.shape[0] // k)
+            mb_cats = jax.tree_util.tree_map(
+                lambda x: x.reshape(x.shape[0], k, x.shape[1] // k)
+                           .transpose(1, 0, 2),
+                cats)
+
+            def body(carry, mb):
+                tables, gp_acc, loss_acc = carry
+                d, c, l = mb
+                tables, gp, loss, logits = self._microstep(
+                    state.params, tables, d, c, l, step)
+                gp_acc = jax.tree_util.tree_map(jnp.add, gp_acc, gp)
+                return (tables, gp_acc, loss_acc + loss), logits
+
+            gp0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (tables, gp, loss_sum), logits_mb = jax.lax.scan(
+                body, (state.tables, gp0, jnp.zeros(())),
+                (mb_dense, mb_cats, mb_labels))
+            gp = jax.tree_util.tree_map(lambda g: g / k, gp)
+            loss = loss_sum / k
+            logits = logits_mb.reshape(-1)
+
+        # dense: sync DP (psum-mean) once per step
+        gp = jax.lax.pmean(gp, self.axis)
         updates, opt_state = self.dense_optimizer.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
         delta = metrics_lib.update(metrics_lib.create(state.metrics.pos_hist.shape[0]),
-                                   logits, labels, loss)
+                                   logits, labels.reshape(logits.shape), loss)
         delta = jax.lax.psum(delta, self.axis)
         m = jax.tree_util.tree_map(jnp.add, state.metrics, delta)
-        return TrainState(params=params, opt_state=opt_state, tables=new_tables,
+        return TrainState(params=params, opt_state=opt_state, tables=tables,
                           metrics=m, step=step + 1)
 
     def _eval_step(self, state: TrainState, mstate, dense, cats, labels):
@@ -285,5 +350,59 @@ class ShardedTrainer:
         return self._jit_eval(state, mstate, dense, cats, labels)
 
     def reset_metrics(self, state: TrainState) -> TrainState:
-        repl = NamedSharding(self.mesh, P())
-        return state._replace(metrics=jax.device_put(metrics_lib.create(), repl))
+        from .multihost import host_to_global
+        return state._replace(metrics=jax.tree_util.tree_map(
+            lambda x: host_to_global(self.mesh, P(), x), metrics_lib.create()))
+
+    # -- operational controls ------------------------------------------------
+    table_health = Trainer.table_health
+
+    def maybe_grow(self, state: TrainState, threshold: float = 0.7) -> TrainState:
+        """Host-side growth check between steps, sharded: any table whose
+        fullest shard passes ``threshold`` load factor (or that has failed
+        inserts) is rebuilt per-shard at 2x capacity inside one shard_map,
+        optimizer slot rows permuted along with the optimizer's init fills.
+        The single-device Trainer has had this since round 1; without it a
+        mesh run saturates silently (new keys read the null row)."""
+        import dataclasses as _dc
+        from ..optim.sparse import permute_slot_state
+
+        tables = dict(state.tables)
+        changed = False
+        for name, coll in self.collections.items():
+            b = tables[name]
+            if not isinstance(b.ev, ev.EVState):
+                continue
+            from .multihost import np_global
+            sizes = np_global(b.ev.index.size).reshape(-1)
+            over = int(np_global(b.ev.index.overflow).sum())
+            cfg = coll.config
+            if sizes.max() / cfg.capacity < threshold and over == 0:
+                continue
+            new_cap = cfg.capacity * 2
+            fills = self.sparse_optimizers[name].fills
+            spec = self._table_spec(coll, self._slot_examples[name])
+
+            def per_shard(bundle, cfg=cfg, new_cap=new_cap, fills=fills):
+                new_ev, perm = ev.grow(bundle.ev, cfg, new_cap)
+                slot = permute_slot_state(bundle.slot, perm, new_cap,
+                                          fills=fills)
+                return bundle._replace(ev=new_ev, slot=slot)
+
+            grow_fn = jax.jit(jax.shard_map(
+                per_shard, mesh=self.mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=False))
+            tables[name] = grow_fn(b)
+            coll.config = _dc.replace(cfg, capacity=new_cap)
+            changed = True
+        if not changed:
+            return state
+        self.rejit()
+        return state._replace(tables=tables)
+
+    def raise_bucket_slack(self, factor: float = 1.5) -> float:
+        """Widen the exchange buckets after observed drops (health[0]) and
+        re-jit; returns the new slack."""
+        self.bucket_slack *= factor
+        self.rejit()
+        return self.bucket_slack

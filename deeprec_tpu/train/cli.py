@@ -116,6 +116,42 @@ def make_dense_opt(args):
     return table[args.optimizer]()
 
 
+def _check_health(tr, state, writer, last: dict) -> dict:
+    """Alarm on (and where possible self-heal) the silent degradation
+    modes: exchange-bucket drops -> widen buckets; dedup-cap saturation ->
+    double max_unique; index overflow is handled by maybe_grow. The
+    reference's analog is the WorkQueue water-level summary
+    (work_queue.py add_summary) — production runs must see these, not
+    discover them in a quality regression weeks later."""
+    if not hasattr(tr, "table_health"):
+        return last
+    health = tr.table_health(state)
+    for name, h in health.items():
+        prev = last.get(name, {})
+        if h["dropped"] > prev.get("dropped", 0):
+            msg = (f"WARNING table {name}: {h['dropped']} unique ids "
+                   f"dropped by exchange buckets (cumulative)")
+            if hasattr(tr, "raise_bucket_slack"):
+                slack = tr.raise_bucket_slack()
+                msg += f" -> bucket_slack raised to {slack:.2f}"
+            print(msg)
+        if (h["max_unique"]
+                and h["unique_saturated_steps"] > prev.get(
+                    "unique_saturated_steps", 0)):
+            import dataclasses as _dc
+            coll = tr.collections[name]
+            new_mu = coll.config.max_unique * 2
+            coll.config = _dc.replace(coll.config, max_unique=new_mu)
+            tr.rejit()
+            print(f"WARNING table {name}: dedup cap saturated "
+                  f"{h['unique_saturated_steps']} step(s) "
+                  f"(max n_unique {h['max_n_unique']}) "
+                  f"-> max_unique raised to {new_mu}")
+        if writer:
+            writer.write(int(state.step), h, table=name, phase="health")
+    return health
+
+
 def run(spec: ModelSpec, args) -> dict:
     """Train/eval loop shared by every modelzoo trainer. Returns (and
     prints, as the reference trainers do) the summary metrics."""
@@ -163,7 +199,8 @@ def run(spec: ModelSpec, args) -> dict:
         aux_loss_weight=spec.aux_loss_weight,
     )
     if args.mesh:
-        tr = ShardedTrainer(mesh=make_mesh(args.mesh), **common)
+        tr = ShardedTrainer(mesh=make_mesh(args.mesh),
+                            microbatches=args.micro_batch, **common)
     else:
         tr = Trainer(microbatches=args.micro_batch, **common)
 
@@ -188,6 +225,7 @@ def run(spec: ModelSpec, args) -> dict:
 
     t0 = time.perf_counter()
     done = 0
+    last_health = {}
     import itertools
     stream = itertools.chain([first], train_it)
     with staged(itertools.islice(stream, args.steps), prepare=tr.prepare_batch,
@@ -222,6 +260,9 @@ def run(spec: ModelSpec, args) -> dict:
                                   f"{n}->{c.config.capacity}"
                                   for n, c in tr.collections.items()))
                         state = grown
+                # silent-degradation watchdog: bucket drops / dedup-cap
+                # saturation are invisible in the loss until quality rots
+                last_health = _check_health(tr, state, writer, last_health)
     jax.block_until_ready(state.step)
     train_secs = time.perf_counter() - t0
 

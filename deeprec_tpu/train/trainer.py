@@ -37,6 +37,13 @@ from . import metrics as metrics_lib
 class TableBundle(NamedTuple):
     ev: ev.EVState
     slot: Any
+    # operational health counters (int32; None for variant tables):
+    # [0] cumulative exchange-bucket drops (sharded runs; 0 locally)
+    # [1] cumulative steps whose dedup saturated max_unique (those uniques
+    #     read the null row for the step — silent quality loss if ignored)
+    # [2] high-water n_unique
+    # Local shape (3,); sharded shape (S, 3) (row-sharded like the tables).
+    health: Any = None
 
 
 class TrainState(NamedTuple):
@@ -49,6 +56,29 @@ class TrainState(NamedTuple):
 
 def bce_loss(logits, labels):
     return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels.astype(jnp.float32)))
+
+
+def _np_global(arr) -> np.ndarray:
+    """Full host value of a possibly process-spanning array (tiny arrays
+    only: sizes/overflow/health counters)."""
+    from ..parallel.multihost import np_global
+    return np_global(arr)
+
+
+def _bump_health(health, coll, aux):
+    """Accumulate TableBundle.health from one local lookup's aux."""
+    if health is None:
+        return None
+    ev_aux = getattr(aux, "ev_aux", aux)
+    uniq = getattr(ev_aux, "uniq", None)
+    if uniq is None:
+        return health
+    nu = uniq.n_unique.astype(jnp.int32)
+    mu = coll.config.max_unique
+    sat = (nu >= mu).astype(jnp.int32) if mu else jnp.int32(0)
+    return jnp.stack([health[..., 0],
+                      health[..., 1] + sat,
+                      jnp.maximum(health[..., 2], nu)], axis=-1)
 
 
 class Trainer:
@@ -94,7 +124,10 @@ class Trainer:
             outputs[name] = (coll.embeddings(urows, aux),
                             coll.sequence_embeddings(urows, aux))
             slot = coll.init_slot(self.sparse_optimizers[name], st)
-            tables[name] = TableBundle(ev=coll.init(), slot=slot)
+            health = (jnp.zeros((3,), jnp.int32)
+                      if isinstance(st, ev.EVState) else None)
+            tables[name] = TableBundle(ev=coll.init(), slot=slot,
+                                       health=health)
         params = self.forward(functools.partial(self.model.init, rng),
                               dense, outputs, True)
         opt_state = self.dense_optimizer.init(params)
@@ -120,7 +153,8 @@ class Trainer:
         auxs = {}
         for name, coll in self.collections.items():
             ev_state, aux = coll.lookup_or_create(tables[name].ev, cats[name], step)
-            new_tables[name] = tables[name]._replace(ev=ev_state)
+            health = _bump_health(tables[name].health, coll, aux)
+            new_tables[name] = tables[name]._replace(ev=ev_state, health=health)
             auxs[name] = aux
         return new_tables, auxs
 
@@ -154,7 +188,7 @@ class Trainer:
                 bundle.ev, self.sparse_optimizers[name], bundle.slot,
                 auxs[name], urow_grads[name], step,
                 urows=urows[name] if urows else None)
-            out[name] = TableBundle(ev=ev_state, slot=slot)
+            out[name] = bundle._replace(ev=ev_state, slot=slot)
         return out
 
     # -- full steps ---------------------------------------------------------
@@ -241,8 +275,9 @@ class Trainer:
         for name, coll in self.collections.items():
             b = tables[name]
             if coll.needs_growth(b.ev):
-                new_ev, slot = coll.grow_state(b.ev, b.slot)
-                tables[name] = TableBundle(ev=new_ev, slot=slot)
+                new_ev, slot = coll.grow_state(
+                    b.ev, b.slot, opt=self.sparse_optimizers.get(name))
+                tables[name] = b._replace(ev=new_ev, slot=slot)
                 changed = True
         if not changed:
             return state
@@ -257,6 +292,36 @@ class Trainer:
 
     def reset_metrics(self, state: TrainState) -> TrainState:
         return state._replace(metrics=metrics_lib.create())
+
+    def table_health(self, state: TrainState) -> Dict[str, dict]:
+        """Host-side operational health per dynamic table — the watchdog for
+        the three silent degradation modes a month-long run must alarm on:
+        index overflow (failed inserts read the null row), exchange-bucket
+        drops (sharded runs), and dedup-cap saturation (uniques beyond
+        max_unique read the null row and take no update that step). The
+        reference's analog is the WorkQueue water-level summary idiom
+        (python/ops/work_queue.py add_summary)."""
+        out = {}
+        for name, coll in self.collections.items():
+            b = state.tables[name]
+            if not isinstance(b.ev, ev.EVState):
+                continue
+            sizes = _np_global(b.ev.index.size).reshape(-1)
+            cap = coll.config.capacity
+            h = (_np_global(b.health).reshape(-1, 3)
+                 if b.health is not None else np.zeros((1, 3), np.int64))
+            out[name] = {
+                "size": int(sizes.sum()),
+                "capacity": cap,
+                "shards": int(sizes.shape[0]),
+                "load_factor": float(sizes.max()) / cap,
+                "overflow": int(_np_global(b.ev.index.overflow).sum()),
+                "dropped": int(h[:, 0].sum()),
+                "unique_saturated_steps": int(h[:, 1].max()),
+                "max_n_unique": int(h[:, 2].max()),
+                "max_unique": coll.config.max_unique,
+            }
+        return out
 
 
 def _with_capacity(cfg, new_cap):
