@@ -48,9 +48,15 @@ def list_saves(directory: str) -> List[Dict[str, Any]]:
     out = []
     if not os.path.isdir(directory):
         return out
-    for name in os.listdir(directory):
-        if ".old." in name or name.endswith(".tmp"):
-            continue  # superseded / in-flight save directories
+    names = set(os.listdir(directory))
+    for name in names:
+        if name.endswith(".tmp"):
+            continue  # in-flight save directory
+        if ".old." in name:
+            # superseded copy — but it is the ONLY copy if a crash hit
+            # write_save between its two renames; recover it then
+            if name.split(".old.")[0] in names:
+                continue
         mpath = os.path.join(directory, name, MANIFEST)
         if not os.path.isfile(mpath):
             continue
@@ -76,20 +82,50 @@ def restore_plan(directory: str) -> Tuple[Optional[Dict], List[Dict]]:
 
 def write_save(path: str, manifest: Dict[str, Any],
                dense_leaves: List[np.ndarray],
-               tables: Dict[str, Dict[str, np.ndarray]]) -> None:
-    """Atomic-ish: write into <path>.tmp then rename (manifest last)."""
+               tables: Dict[str, Dict[str, np.ndarray]],
+               part: Optional[int] = None, n_parts: int = 1,
+               barrier=None) -> None:
+    """Atomic-ish: write into <path>.tmp then rename (manifest last).
+
+    Crash-safety: when ``path`` already exists (re-save of the same step)
+    it is renamed aside BEFORE the tmp dir takes its place; if a crash
+    lands between the two renames, :func:`list_saves` recovers the
+    ``.old.*`` copy (it only skips .old dirs whose base still exists), so
+    that step's previously-valid save is never lost. The .old copy is
+    deleted here once the new directory's manifest verifies.
+
+    Multi-process saves (``part``/``n_parts``/``barrier`` set): every
+    process writes its own ``table-<name>.part<k>.npz`` holding the rows
+    of its addressable shards (the per-PS-task bundle shards of the
+    reference); process 0 writes dense/manifest and renames, after the
+    barrier confirms all parts are on disk. :func:`read_table` merges
+    parts transparently."""
     tmp = path + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    np.savez(os.path.join(tmp, DENSE),
-             **{f"d{i:05d}": leaf for i, leaf in enumerate(dense_leaves)})
+    suffix = "" if part is None else f".part{part:03d}"
     for name, arrays in tables.items():
-        np.savez(os.path.join(tmp, f"table-{name}.npz"), **arrays)
-    manifest = dict(manifest, time=time.time())
-    with open(os.path.join(tmp, MANIFEST), "w") as f:
-        json.dump(manifest, f)
-    if os.path.isdir(path):
-        os.rename(path, path + f".old.{os.getpid()}")
-    os.rename(tmp, path)
+        np.savez(os.path.join(tmp, f"table-{name}{suffix}.npz"), **arrays)
+    primary = part is None or part == 0
+    if primary:
+        np.savez(os.path.join(tmp, DENSE),
+                 **{f"d{i:05d}": leaf for i, leaf in enumerate(dense_leaves)})
+    if barrier is not None:
+        barrier(f"write_save:{os.path.basename(path)}:parts")
+    if primary:
+        manifest = dict(manifest, time=time.time(),
+                        parts=(1 if part is None else n_parts))
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(manifest, f)
+        old = None
+        if os.path.isdir(path):
+            old = path + f".old.{os.getpid()}"
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if old is not None and os.path.isfile(os.path.join(path, MANIFEST)):
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
+    if barrier is not None:
+        barrier(f"write_save:{os.path.basename(path)}:done")
 
 
 def read_dense(path: str) -> List[np.ndarray]:
@@ -98,8 +134,34 @@ def read_dense(path: str) -> List[np.ndarray]:
 
 
 def read_table(path: str, name: str) -> Dict[str, np.ndarray]:
-    with np.load(os.path.join(path, f"table-{name}.npz")) as z:
-        return {k: z[k] for k in z.files}
+    """Read one table's arrays; multi-process part files are merged (row
+    arrays concatenated, scalars taken from the first part)."""
+    single = os.path.join(path, f"table-{name}.npz")
+    if os.path.isfile(single):
+        with np.load(single) as z:
+            return {k: z[k] for k in z.files}
+    import glob
+    parts = sorted(glob.glob(os.path.join(path, f"table-{name}.part*.npz")))
+    if not parts:
+        raise FileNotFoundError(single)
+    merged: Dict[str, list] = {}
+    scalars: Dict[str, np.ndarray] = {}
+    n_rows_key = None
+    for p in parts:
+        with np.load(p) as z:
+            nk = int(z["keys"].shape[0]) if "keys" in z.files else None
+            for k in z.files:
+                v = z[k]
+                row_like = (nk is not None and v.ndim >= 1
+                            and v.shape[0] == nk
+                            and not k.startswith(("scalar__", "cbf")))
+                if k == "keys" or row_like:
+                    merged.setdefault(k, []).append(v)
+                else:
+                    scalars.setdefault(k, v)
+    out = {k: np.concatenate(v) for k, v in merged.items()}
+    out.update(scalars)
+    return out
 
 
 def slot_leaf_names(slot_state) -> List[Tuple[str, Any]]:

@@ -50,6 +50,9 @@ def _keys64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
         lo.astype(np.uint32).astype(np.int64))
 
 
+from ..parallel.multihost import addressable_blocks as _blocks
+
+
 def table_snapshot_host(
     config: EmbeddingVariableConfig,
     ev_state,
@@ -66,45 +69,48 @@ def table_snapshot_host(
     cap1 = cap + 1
     S = num_shards
 
-    key_hi = np.asarray(ev_state.index.key_hi).reshape(S, cap)
-    key_lo = np.asarray(ev_state.index.key_lo).reshape(S, cap)
-    values = np.asarray(ev_state.values).reshape(S, cap1, -1)
-    freqs = np.asarray(ev_state.freqs).reshape(S, cap1)
-    versions = np.asarray(ev_state.versions).reshape(S, cap1)
-    create_steps = np.asarray(ev_state.create_steps).reshape(S, cap1)
+    # per-shard host blocks: on a multi-process mesh each process sees (and
+    # saves) only its addressable shards — the per-part save unit
+    key_hi = _blocks(ev_state.index.key_hi, S, cap)
+    key_lo = _blocks(ev_state.index.key_lo, S, cap)
+    values = _blocks(ev_state.values, S, cap1)
+    freqs = _blocks(ev_state.freqs, S, cap1)
+    versions = _blocks(ev_state.versions, S, cap1)
+    create_steps = _blocks(ev_state.create_steps, S, cap1)
+    local_shards = sorted(key_hi.keys())
 
-    slot_rows = []  # (name, array [S, cap1, ...])
+    slot_rows = []  # (name, dict shard -> [cap1, ...])
     slot_scalars = {}
     for name, leaf in F.slot_leaf_names(slot_state):
-        arr = np.asarray(leaf)
-        if arr.ndim >= 1 and arr.shape[0] == S * cap1:
-            slot_rows.append((name, arr.reshape(S, cap1, *arr.shape[1:])))
+        shape0 = leaf.shape[0] if getattr(leaf, "ndim", 0) >= 1 else None
+        if shape0 == S * cap1:
+            slot_rows.append((name, _blocks(leaf, S, cap1)))
         else:
-            slot_scalars[f"scalar__{name}"] = arr
+            slot_scalars[f"scalar__{name}"] = np.asarray(leaf)
 
     sel_keys, sel_rows = [], {name: [] for name, _ in slot_rows}
     sel_vals, sel_freqs, sel_vers, sel_cs = [], [], [], []
-    for s in range(S):
+    for s in local_shards:
         keys = _keys64(key_hi[s], key_lo[s])
         live = keys != np.int64(-1)
         if evict and config.evict is not None and global_step is not None:
             pol = config.evict
             if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
-                live &= (global_step - versions[s, :cap]) < pol.steps_to_live
+                live &= (global_step - versions[s][:cap]) < pol.steps_to_live
             elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-                norms = np.sum(values[s, :cap, :config.embedding_dim]
+                norms = np.sum(values[s][:cap, :config.embedding_dim]
                                .astype(np.float64) ** 2, axis=-1)
                 live &= norms >= pol.l2_weight_threshold
         if since_step is not None:
-            live &= versions[s, :cap] >= since_step
+            live &= versions[s][:cap] >= since_step
         idx = np.nonzero(live)[0]
         sel_keys.append(keys[idx])
-        sel_vals.append(values[s, idx])
-        sel_freqs.append(freqs[s, idx])
-        sel_vers.append(versions[s, idx])
-        sel_cs.append(create_steps[s, idx])
+        sel_vals.append(values[s][idx])
+        sel_freqs.append(freqs[s][idx])
+        sel_vers.append(versions[s][idx])
+        sel_cs.append(create_steps[s][idx])
         for name, arr in slot_rows:
-            sel_rows[name].append(arr[s, idx])
+            sel_rows[name].append(arr[s][idx])
 
     out = {
         "keys": np.concatenate(sel_keys),
@@ -117,8 +123,12 @@ def table_snapshot_host(
         out[f"slot__{name}"] = np.concatenate(parts)
     out.update(slot_scalars)
     if ev_state.cbf is not None:
-        out["cbf"] = np.asarray(ev_state.cbf)
-        out["cbf_shards"] = np.asarray(S, np.int32)
+        if (not isinstance(ev_state.cbf, jax.Array)
+                or ev_state.cbf.is_fully_addressable):
+            out["cbf"] = np.asarray(ev_state.cbf)
+            out["cbf_shards"] = np.asarray(S, np.int32)
+        # multi-process: the CBF sketch is per-shard and restore already
+        # tolerates its absence (pre-admission counts restart from zero)
     return out
 
 
@@ -251,18 +261,29 @@ class CheckpointManager:
             (state.params, state.opt_state, state.step))]
         return tables, dense_leaves
 
+    def _mp(self):
+        """(part, n_parts, barrier) for multi-process saves; every process
+        writes the rows of its own addressable shards (the reference's
+        per-PS-task bundle shards), process 0 the manifest/dense."""
+        if jax.process_count() == 1:
+            return None, 1, None
+        from ..parallel import multihost
+        return jax.process_index(), jax.process_count(), multihost.barrier
+
     def save(self, trainer, state, evict: bool = True) -> str:
         step = int(state.step)
         tables, dense = self._collect(trainer, state, since=None, evict=evict)
         path = os.path.join(self.directory, F.step_dirname("full", step))
+        part, n_parts, barrier = self._mp()
         F.write_save(path, {
             "kind": "full", "step": step,
             "tables": {n: int(t["keys"].shape[0]) if "keys" in t else -1
                        for n, t in tables.items()},
-        }, dense, tables)
+        }, dense, tables, part=part, n_parts=n_parts, barrier=barrier)
         self._last_save_step = step
         self._last_full_time = time.time()
-        self._gc()
+        if part in (None, 0):
+            self._gc()
         return path
 
     def save_incremental(self, trainer, state) -> str:
@@ -272,11 +293,12 @@ class CheckpointManager:
             return self.save(trainer, state)
         tables, dense = self._collect(trainer, state, since=since, evict=False)
         path = os.path.join(self.directory, F.step_dirname("incr", step))
+        part, n_parts, barrier = self._mp()
         F.write_save(path, {
             "kind": "incr", "step": step, "since": since,
             "tables": {n: int(t["keys"].shape[0]) if "keys" in t else -1
                        for n, t in tables.items()},
-        }, dense, tables)
+        }, dense, tables, part=part, n_parts=n_parts, barrier=barrier)
         self._last_save_step = step
         self._last_incr_time = time.time()
         return path
@@ -291,13 +313,23 @@ class CheckpointManager:
 
     def _gc(self):
         import shutil
-        fulls = [m for m in F.list_saves(self.directory) if m["kind"] == "full"]
-        for m in fulls[:-self.keep] if self.keep else []:
-            # old incrementals whose base is being dropped go too
-            shutil.rmtree(m["path"], ignore_errors=True)
-        # superseded same-step saves renamed by write_save
-        for name in os.listdir(self.directory):
-            if ".old." in name:
+        saves = F.list_saves(self.directory)
+        fulls = [m for m in saves if m["kind"] == "full"]
+        if self.keep and len(fulls) > self.keep:
+            cutoff = fulls[-self.keep]["step"]  # oldest retained full
+            for m in fulls[:-self.keep]:
+                shutil.rmtree(m["path"], ignore_errors=True)
+            # incrementals at or below the oldest retained full are
+            # unreachable by any restore_plan over the kept fulls
+            for m in saves:
+                if m["kind"] == "incr" and m["step"] <= cutoff:
+                    shutil.rmtree(m["path"], ignore_errors=True)
+        # superseded same-step saves renamed by write_save — delete only
+        # when the base dir exists (a lone .old copy IS the save: the
+        # crash-recovery case list_saves handles)
+        names = set(os.listdir(self.directory))
+        for name in names:
+            if ".old." in name and name.split(".old.")[0] in names:
                 shutil.rmtree(os.path.join(self.directory, name),
                               ignore_errors=True)
 
@@ -371,11 +403,12 @@ class CheckpointManager:
         leaves = [jnp.asarray(x) for x in dense_leaves]
         params, opt_state, step = jax.tree_util.tree_unflatten(treedef, leaves)
         if S > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(trainer.mesh, P())
-            params = jax.device_put(params, repl)
-            opt_state = jax.device_put(opt_state, repl)
-            step = jax.device_put(step, repl)
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.multihost import host_to_global
+            put = lambda x: host_to_global(trainer.mesh, P(), x)
+            params = jax.tree_util.tree_map(put, params)
+            opt_state = jax.tree_util.tree_map(put, opt_state)
+            step = put(step)
 
         state = state._replace(params=params, opt_state=opt_state,
                                tables=new_tables, step=step)
@@ -386,18 +419,18 @@ class CheckpointManager:
 
 
 def _stack_shards(trainer, coll, bundle_template, shard_states, shard_slots):
-    """Stack per-shard pytrees into the trainer's row-sharded global arrays."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    rowsharded = NamedSharding(trainer.mesh, P(trainer.axis))
-    repl = NamedSharding(trainer.mesh, P())
+    """Stack per-shard pytrees into the trainer's row-sharded global arrays
+    (multi-process safe: every process computes the same per-shard host
+    state and materialises only its addressable shards)."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.multihost import host_to_global
 
     def stack(*leaves):
         l0 = leaves[0]
         if hasattr(l0, "ndim") and l0.ndim >= 1:
-            return jax.device_put(
-                jnp.concatenate([jnp.asarray(l) for l in leaves], axis=0),
-                rowsharded)
-        return jax.device_put(leaves[0], repl)
+            glob = np.concatenate([np.asarray(l) for l in leaves], axis=0)
+            return host_to_global(trainer.mesh, P(trainer.axis), glob)
+        return host_to_global(trainer.mesh, P(), leaves[0])
 
     ev_state = jax.tree_util.tree_map(stack, *shard_states)
     slot = jax.tree_util.tree_map(stack, *shard_slots)
