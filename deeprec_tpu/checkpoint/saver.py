@@ -259,6 +259,13 @@ class CheckpointManager:
                 evict=evict, global_step=gs)
         dense_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(
             (state.params, state.opt_state, state.step))]
+        # host-tier rows (TieredTrainer / TieredShardedTrainer): demoted
+        # rows are training state too — a restart must not lose them
+        # (reference embedding_var.h:221 GetSnapshot spans storage tiers)
+        export_tiers = getattr(trainer, "export_tiers", None)
+        if export_tiers is not None:
+            for name, (keys, rows) in export_tiers(state, since=since).items():
+                tables[f"__tier__{name}"] = {"keys": keys, "rows": rows}
         return tables, dense_leaves
 
     def _mp(self):
@@ -395,6 +402,25 @@ class CheckpointManager:
                     shard_slots.append(slot)
                 new_tables[name] = _stack_shards(
                     trainer, coll, state.tables[name], shard_states, shard_slots)
+
+        # host tiers: merge tier parts across base+incrementals (upsert in
+        # save order — newest wins); keys restored into the DEVICE table are
+        # skipped (the device snapshot always carries a key's final state,
+        # so a stale tier copy must not clobber it via later promotion)
+        import_tier = getattr(trainer, "import_tier", None)
+        if import_tier is not None:
+            for name in getattr(trainer, "tiers", {}):
+                dev_keys = np.concatenate(
+                    [p["keys"] for p in all_arrays.get(name, [])
+                     if "keys" in p] or [np.zeros((0,), np.int64)])
+                for m in [base] + incrs:
+                    try:
+                        tp = F.read_table(m["path"], f"__tier__{name}")
+                    except FileNotFoundError:
+                        continue
+                    mask = ~np.isin(tp["keys"], dev_keys)
+                    if mask.any():
+                        import_tier(name, tp["keys"][mask], tp["rows"][mask])
 
         # dense: last loaded wins (params/opt_state/step saved every time)
         _, dense_leaves = loads[-1]

@@ -34,6 +34,7 @@ from ..sparse import embedding_var as ev
 from ..sparse import keys as K
 from ..sparse import tier_payload as TP
 from ..optim.sparse import permute_slot_state
+from ..train.tiered_trainer import TierCheckpointMixin
 from ..train.trainer import TableBundle, TrainState
 from ..utils.native import HostKV
 from . import multihost as mh
@@ -41,7 +42,7 @@ from .sharded import OWNER_SEED
 from .trainer import ShardedTrainer
 
 
-class TieredShardedTrainer(ShardedTrainer):
+class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
     """ShardedTrainer with host-DRAM overflow tiers for HBM_DRAM tables."""
 
     def __init__(self, *args, **kwargs):
@@ -244,3 +245,16 @@ class TieredShardedTrainer(ShardedTrainer):
     def host_tier_rows(self, name: str) -> int:
         kv = self.tiers.get(name)
         return len(kv) if kv else 0
+
+    def import_tier(self, name: str, keys: np.ndarray, rows: np.ndarray):
+        """Per-process tiers hold only locally-owned keys; a resharded
+        restore filters the merged tier parts by owner here."""
+        if name not in self.tiers or len(keys) == 0:
+            return
+        lo, hi = mh.local_shard_range(self.mesh, self.axis, self.S)
+        own = (K.hash32_np(keys, seed=OWNER_SEED)
+               % np.uint32(self.S)).astype(np.int64)
+        local = (own >= lo) & (own < hi)
+        if not local.any():
+            return
+        super().import_tier(name, keys[local], rows[local])

@@ -35,7 +35,45 @@ from ..optim.sparse import permute_slot_state
 from .trainer import TableBundle, Trainer, TrainState
 
 
-class TieredTrainer(Trainer):
+class TierCheckpointMixin:
+    """Host-tier persistence hooks, shared by TieredTrainer and
+    TieredShardedTrainer. A restart must not lose demoted rows: the
+    reference's snapshot spans storage tiers (embedding_var.h:221
+    GetSnapshot walks the kv regardless of DRAM/PMEM placement), so the
+    checkpoint saver exports/imports these alongside the device tables."""
+
+    def export_tiers(self, state, since: Optional[int] = None):
+        """name -> (keys int64[n], payload f32[n, W]) for every non-empty
+        host tier. ``since`` filters to rows whose (bit-pattern) version
+        stamp is >= since — the incremental-save contract; a row demoted
+        after the last save carries the version of its final on-device
+        update, which that save already captured if it was older."""
+        out = {}
+        for name, kv in getattr(self, "tiers", {}).items():
+            if kv is None or len(kv) == 0:
+                continue
+            keys, rows = kv.export()
+            if since is not None:
+                dim = self._payload_spec(name, state.tables[name]).dim
+                vers = rows[:, dim + 1].copy().view(np.int32)
+                sel = vers >= since
+                keys, rows = keys[sel], rows[sel]
+            if len(keys):
+                out[name] = (keys, rows)
+        return out
+
+    def import_tier(self, name: str, keys: np.ndarray, rows: np.ndarray):
+        """Upsert restored rows into the host tier (created lazily at the
+        restored payload width; newest-wins across base+incremental saves
+        because callers import in save order)."""
+        if name not in self.tiers:
+            return
+        if self.tiers[name] is None:
+            self.tiers[name] = HostKV(rows.shape[1], 1 << 16)
+        self.tiers[name].upsert(keys, rows)
+
+
+class TieredTrainer(TierCheckpointMixin, Trainer):
     """Trainer with host-DRAM overflow tiers for HBM_DRAM tables."""
 
     def __init__(self, *args, **kwargs):
