@@ -20,6 +20,7 @@ class StorageType(enum.Enum):
 
     HBM = "hbm"              # all rows in device HBM (default)
     HBM_DRAM = "hbm_dram"    # hot rows in HBM, overflow tier in host DRAM
+    HBM_DRAM_SSD = "hbm_dram_ssd"  # + coldest host rows spill to disk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +76,11 @@ class StorageOption:
     storage_type: StorageType = StorageType.HBM
     # HBM-resident capacity (rows) when tiering; host tier is unbounded.
     hbm_capacity: int = 0
+    # HBM_DRAM_SSD: max rows held in host DRAM before the coldest spill to
+    # the file-backed store (0 = unbounded DRAM, never spills).
+    dram_row_budget: int = 0
+    # backing file for the SSD tier; empty = "<tmpdir>/deeprec_ssd_<name>"
+    ssd_path: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

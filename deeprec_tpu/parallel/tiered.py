@@ -34,7 +34,7 @@ from ..sparse import embedding_var as ev
 from ..sparse import keys as K
 from ..sparse import tier_payload as TP
 from ..optim.sparse import permute_slot_state
-from ..train.tiered_trainer import TierCheckpointMixin
+from ..train.tiered_trainer import TIERED_STORAGE, TierCheckpointMixin
 from ..train.trainer import TableBundle, TrainState
 from ..utils.native import HostKV
 from . import multihost as mh
@@ -51,7 +51,7 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
         self._promote_fns: Dict = {}
         self._demote_fns: Dict = {}
         for name, coll in self.collections.items():
-            if coll.config.storage.storage_type == StorageType.HBM_DRAM:
+            if coll.config.storage.storage_type in TIERED_STORAGE:
                 self.tiers[name] = None  # sized lazily (row width)
 
     # -- step wrapper -------------------------------------------------------
@@ -209,7 +209,7 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
                 keys64 = ((key_hi[s][idx].astype(np.int64) << 32)
                           | key_lo[s][idx].astype(np.uint32).astype(np.int64))
                 if self.tiers[name] is None:
-                    self.tiers[name] = HostKV(spec.width, 1 << 16)
+                    self.tiers[name] = self._make_tier(name, spec.width)
                 payload = TP.pack_np(spec, idx, values[s], freqs[s],
                                      versions[s], create_steps[s],
                                      shard_leaves(s))

@@ -20,6 +20,7 @@ Mechanics (host at step boundaries, device step stays one jit):
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -35,12 +36,37 @@ from ..optim.sparse import permute_slot_state
 from .trainer import TableBundle, Trainer, TrainState
 
 
+TIERED_STORAGE = (StorageType.HBM_DRAM, StorageType.HBM_DRAM_SSD)
+
+
 class TierCheckpointMixin:
     """Host-tier persistence hooks, shared by TieredTrainer and
     TieredShardedTrainer. A restart must not lose demoted rows: the
     reference's snapshot spans storage tiers (embedding_var.h:221
     GetSnapshot walks the kv regardless of DRAM/PMEM placement), so the
     checkpoint saver exports/imports these alongside the device tables."""
+
+    def _make_tier(self, name: str, width: int):
+        """Build the host store for one table per its StorageOption:
+        plain host-DRAM KV, or the DRAM->SSD cascade (TierStack) when the
+        config caps the DRAM row budget / names a backing file."""
+        from ..utils.native import TierStack
+        st = self.collections[name].config.storage
+        if st.storage_type == StorageType.HBM_DRAM_SSD:
+            import tempfile
+            path = st.ssd_path or os.path.join(
+                tempfile.gettempdir(),
+                f"deeprec_ssd_{name}_{os.getpid()}.arena")
+            return TierStack(width, self._tier_version_col(name),
+                             st.dram_row_budget, path)
+        return HostKV(width, 1 << 16)
+
+    def _tier_version_col(self, name: str) -> int:
+        """Version-stamp column inside the packed payload: the values block
+        (embedding_dim + fused slot columns) is followed by freq, version,
+        create_step (tier_payload layout)."""
+        cfg = self.collections[name].config
+        return cfg.embedding_dim + cfg.fused_slot_columns + 1
 
     def export_tiers(self, state, since: Optional[int] = None):
         """name -> (keys int64[n], payload f32[n, W]) for every non-empty
@@ -69,7 +95,7 @@ class TierCheckpointMixin:
         if name not in self.tiers:
             return
         if self.tiers[name] is None:
-            self.tiers[name] = HostKV(rows.shape[1], 1 << 16)
+            self.tiers[name] = self._make_tier(name, rows.shape[1])
         self.tiers[name].upsert(keys, rows)
 
 
@@ -81,7 +107,7 @@ class TieredTrainer(TierCheckpointMixin, Trainer):
         self.tiers: Dict[str, HostKV] = {}
         self._insert_fns: Dict = {}  # (name, n_pad, width) -> jitted insert
         for name, coll in self.collections.items():
-            if coll.config.storage.storage_type == StorageType.HBM_DRAM:
+            if coll.config.storage.storage_type in TIERED_STORAGE:
                 self.tiers[name] = None  # sized lazily at first demote
 
     # -- promotion -----------------------------------------------------------
@@ -168,7 +194,7 @@ class TieredTrainer(TierCheckpointMixin, Trainer):
                       | key_lo[idx].astype(np.uint32).astype(np.int64))
             spec = self._payload_spec(name, bundle)
             if self.tiers[name] is None:
-                self.tiers[name] = HostKV(spec.width, capacity_hint=1 << 16)
+                self.tiers[name] = self._make_tier(name, spec.width)
             payload = TP.pack_np(
                 spec, idx, np.asarray(bundle.ev.values),
                 np.asarray(bundle.ev.freqs), versions,

@@ -55,6 +55,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
         lib.hostkv_create.restype = ctypes.c_void_p
         lib.hostkv_create.argtypes = [_i64, _i64]
+        lib.hostkv_create_disk.restype = ctypes.c_void_p
+        lib.hostkv_create_disk.argtypes = [_i64, _i64, ctypes.c_char_p]
+        lib.hostkv_is_disk.restype = _i64
+        lib.hostkv_is_disk.argtypes = [ctypes.c_void_p]
         lib.hostkv_destroy.argtypes = [ctypes.c_void_p]
         lib.hostkv_size.restype = _i64
         lib.hostkv_size.argtypes = [ctypes.c_void_p]
@@ -79,11 +83,21 @@ class HostKV:
     embedding storage (reference StorageType{DRAM,PMEM}). Batched numpy
     API; C++ sharded open-addressing map underneath, dict fallback."""
 
-    def __init__(self, dim: int, capacity_hint: int = 1 << 16):
+    def __init__(self, dim: int, capacity_hint: int = 1 << 16,
+                 path: Optional[str] = None):
+        """``path``: file-backed (mmap) row arena — the SSD storage tier.
+        None keeps rows in anonymous host DRAM."""
         self.dim = dim
+        self.path = path
         self._lib = get_lib()
         if self._lib is not None:
-            self._h = ctypes.c_void_p(self._lib.hostkv_create(dim, capacity_hint))
+            if path:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                self._h = ctypes.c_void_p(self._lib.hostkv_create_disk(
+                    dim, capacity_hint, path.encode()))
+            else:
+                self._h = ctypes.c_void_p(
+                    self._lib.hostkv_create(dim, capacity_hint))
             self._fallback = None
         else:
             self._h = None
@@ -144,6 +158,67 @@ class HostKV:
             keys[i] = k
             rows[i] = r
         return keys, rows
+
+
+class TierStack:
+    """DRAM -> SSD storage cascade (reference multi-tier EmbeddingVariable,
+    embedding/config.proto StorageType{DRAM,PMEM,SSD}): rows demote into
+    host DRAM first; when the DRAM tier passes ``dram_row_budget`` the
+    coldest rows (by the payload's bit-pattern version stamp) spill to a
+    file-backed store. Same batched API as :class:`HostKV`, so trainers
+    and the checkpoint saver use either interchangeably."""
+
+    def __init__(self, dim: int, version_col: int, dram_row_budget: int,
+                 ssd_path: str, capacity_hint: int = 1 << 16):
+        self.dim = dim
+        self.version_col = version_col
+        self.budget = int(dram_row_budget)
+        self.dram = HostKV(dim, capacity_hint)
+        self.ssd = HostKV(dim, capacity_hint, path=ssd_path)
+
+    def __len__(self) -> int:
+        return len(self.dram) + len(self.ssd)
+
+    def upsert(self, keys: np.ndarray, rows: np.ndarray) -> None:
+        # fresh demotions are the warmest cold rows: they enter DRAM; any
+        # SSD copy of the same key is superseded
+        self.dram.upsert(keys, rows)
+        if len(keys):
+            self.ssd.erase(keys)
+        self._maybe_spill()
+
+    def _maybe_spill(self) -> None:
+        if not self.budget or len(self.dram) <= self.budget:
+            return
+        keys, rows = self.dram.export()
+        vers = rows[:, self.version_col].copy().view(np.int32)
+        # spill the coldest rows down to half the budget (amortized O(n))
+        keep = self.budget // 2
+        order = np.argsort(vers)  # oldest version first
+        spill = order[: len(keys) - keep]
+        self.ssd.upsert(keys[spill], rows[spill])
+        self.dram.erase(keys[spill])
+
+    def lookup(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        rows, found = self.dram.lookup(keys)
+        miss = ~found
+        if miss.any() and len(self.ssd):
+            rows2, found2 = self.ssd.lookup(keys[miss])
+            rows[miss] = np.where(found2[:, None], rows2, rows[miss])
+            found = found.copy()
+            found[np.nonzero(miss)[0][found2]] = True
+        return rows, found
+
+    def erase(self, keys: np.ndarray) -> None:
+        self.dram.erase(keys)
+        self.ssd.erase(keys)
+
+    def export(self) -> Tuple[np.ndarray, np.ndarray]:
+        k1, r1 = self.dram.export()
+        k2, r2 = self.ssd.export()
+        if not len(k2):
+            return k1, r1
+        return np.concatenate([k1, k2]), np.concatenate([r1, r2])
 
 
 def criteo_parse_chunk(buf: bytes, max_rows: int):

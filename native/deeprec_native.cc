@@ -16,8 +16,13 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 // Build: g++ -O3 -march=native -shared -fPIC -o libdeeprec_native.so
 //        deeprec_native.cc -lpthread
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <mutex>
 #include <thread>
@@ -49,6 +54,43 @@ static inline int64_t hash_token(const char* s, size_t n) {
 }
 
 // ---------------------------------------------------------------------------
+// FileArena: mmap-backed block allocator for the SSD storage tier
+// (reference embedding/config.proto StorageType SSD + ssd_hash kv). Rows
+// live in page-cache-backed file segments; the kernel writes cold pages
+// out, so the working set is bounded by RAM while capacity is bounded by
+// disk.
+
+struct FileArena {
+  int fd = -1;
+  std::mutex mu;
+  std::vector<float*> maps;  // one mapping per block
+  size_t block_bytes = 0;
+  int64_t file_rows = 0;
+
+  bool open_file(const char* path, size_t bytes_per_block) {
+    fd = ::open(path, O_RDWR | O_CREAT, 0644);
+    block_bytes = bytes_per_block;
+    return fd >= 0;
+  }
+
+  float* alloc_block() {
+    std::lock_guard<std::mutex> g(mu);
+    size_t off = maps.size() * block_bytes;
+    if (ftruncate(fd, (off_t)(off + block_bytes)) != 0) return nullptr;
+    void* p = mmap(nullptr, block_bytes, PROT_READ | PROT_WRITE, MAP_SHARED,
+                   fd, (off_t)off);
+    if (p == MAP_FAILED) return nullptr;
+    maps.push_back((float*)p);
+    return (float*)p;
+  }
+
+  ~FileArena() {
+    for (float* m : maps) munmap(m, block_bytes);
+    if (fd >= 0) ::close(fd);
+  }
+};
+
+// ---------------------------------------------------------------------------
 // HostKV: sharded open-addressing map key -> row index into a block arena.
 
 struct Shard {
@@ -62,9 +104,13 @@ struct Shard {
 
   static constexpr int64_t kEmpty = INT64_MIN;
   static constexpr size_t kRowsPerBlock = 4096;
+  FileArena* arena = nullptr;  // non-null: disk-backed blocks (SSD tier)
+  bool owns_blocks = true;
 
-  void init(int64_t d, size_t cap_pow2) {
+  void init(int64_t d, size_t cap_pow2, FileArena* a = nullptr) {
     dim = d;
+    arena = a;
+    owns_blocks = (a == nullptr);
     keys.assign(cap_pow2, kEmpty);
     slot.assign(cap_pow2, 0);
     mask = cap_pow2 - 1;
@@ -99,7 +145,8 @@ struct Shard {
       j = (j + 1) & mask;
     }
     if (size % kRowsPerBlock == 0)
-      blocks.push_back(new float[kRowsPerBlock * dim]);
+      blocks.push_back(arena ? arena->alloc_block()
+                             : new float[kRowsPerBlock * dim]);
     keys[j] = key;
     slot[j] = (uint32_t)size++;
     *created = true;
@@ -145,7 +192,8 @@ struct Shard {
   }
 
   ~Shard() {
-    for (float* b : blocks) delete[] b;
+    if (owns_blocks)
+      for (float* b : blocks) delete[] b;
   }
 };
 
@@ -154,12 +202,24 @@ struct HostKV {
   Shard shards[kShards];
   int64_t dim;
   std::atomic<int64_t> live{0};
+  FileArena* arena = nullptr;  // non-null for the disk-backed variant
 
-  explicit HostKV(int64_t d, int64_t cap_hint) : dim(d) {
+  HostKV(int64_t d, int64_t cap_hint, const char* disk_path = nullptr)
+      : dim(d) {
+    if (disk_path && disk_path[0]) {
+      arena = new FileArena();
+      if (!arena->open_file(disk_path,
+                            Shard::kRowsPerBlock * (size_t)d * sizeof(float))) {
+        delete arena;  // fall back to heap blocks
+        arena = nullptr;
+      }
+    }
     size_t per = 64;
     while ((int64_t)(per * kShards) < cap_hint) per <<= 1;
-    for (auto& s : shards) s.init(d, per);
+    for (auto& s : shards) s.init(d, per, arena);
   }
+
+  ~HostKV() { delete arena; }
 
   Shard& shard_of(int64_t key) {
     return shards[mix64((uint64_t)key ^ 0xABCDull) & (kShards - 1)];
@@ -191,6 +251,16 @@ extern "C" {
 HostKV* hostkv_create(int64_t dim, int64_t capacity_hint) {
   return new HostKV(dim, capacity_hint);
 }
+
+// disk-backed variant: rows live in an mmap'd file arena (the SSD storage
+// tier). Same API as the DRAM store.
+HostKV* hostkv_create_disk(int64_t dim, int64_t capacity_hint,
+                           const char* path) {
+  return new HostKV(dim, capacity_hint, path);
+}
+
+// 1 if the store is file-backed (its arena opened successfully)
+int64_t hostkv_is_disk(HostKV* kv) { return kv->arena != nullptr; }
 
 void hostkv_destroy(HostKV* kv) { delete kv; }
 
