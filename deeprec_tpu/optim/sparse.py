@@ -354,6 +354,149 @@ def sparse_adagrad_fused(learning_rate: Schedule = 0.05,
     return SparseOptimizer("adagrad_fused", init, apply, fills=())
 
 
+def sparse_adam_fused(
+    learning_rate: Schedule = 0.001,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    epsilon: float = 1e-8,
+) -> SparseOptimizer:
+    """Adam with m and v stored in the values array's fused slot columns
+    (ValuePtr row layout, value_ptr.h:141): one row gather + one row
+    scatter per step instead of three of each. β-powers are per-variable
+    scalars exactly like :func:`sparse_adam_async` (adam_async.py:39).
+
+    Pair with ``EmbeddingVariableConfig(fused_slot_columns=2*dim,
+    fused_slot_init=0.0)``.
+    """
+
+    def init(values):
+        return {"beta1_power": jnp.asarray(beta1, jnp.float32),
+                "beta2_power": jnp.asarray(beta2, jnp.float32)}
+
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
+        lr = _lr_at(learning_rate, step)
+        g = grads.astype(jnp.float32)
+        dim = g.shape[-1]
+        full = values[slots]
+        mv = full[:, dim:].astype(jnp.float32)
+        if created is not None:
+            # lazy-init rows hold zeros; logical m0 = v0 = 0 already
+            mv = jnp.where(created[:, None], 0.0, mv)
+        m = beta1 * mv[:, :dim] + (1.0 - beta1) * g
+        v = beta2 * mv[:, dim:] + (1.0 - beta2) * g * g
+        b1p = slot_state["beta1_power"]
+        b2p = slot_state["beta2_power"]
+        alpha = lr * jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+        cur = (cur_rows if cur_rows is not None
+               else full[:, :dim]).astype(jnp.float32)
+        new = cur - alpha * m / (jnp.sqrt(v) + epsilon)
+        packed = jnp.concatenate([new, m, v], axis=-1)
+        dest = _dest(slots, mask, values.shape[0])
+        return (_scatter_set(values, dest, packed),
+                {"beta1_power": b1p * beta1, "beta2_power": b2p * beta2})
+
+    return SparseOptimizer("adam_fused", init, apply,
+                           fills={"beta1_power": beta1,
+                                  "beta2_power": beta2})
+
+
+def sparse_proximal_gradient_descent(
+    learning_rate: Schedule = 0.01,
+    l1_regularization_strength: float = 0.0,
+    l2_regularization_strength: float = 0.0,
+) -> SparseOptimizer:
+    """ProximalGradientDescent (python/training/proximal_gradient_descent.py,
+    kernel ApplyProximalGradientDescent): a gradient step followed by the
+    l1/l2 proximal operator::
+
+        prox = var - lr*g
+        var  = sign(prox) / (1 + lr*l2) * max(|prox| - lr*l1, 0)
+    """
+    l1 = np.float32(l1_regularization_strength)
+    l2 = np.float32(l2_regularization_strength)
+
+    def init(values):
+        return ()
+
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
+        lr = _lr_at(learning_rate, step)
+        g = grads.astype(jnp.float32)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
+        prox = cur - lr * g
+        new = (jnp.sign(prox) / (1.0 + lr * l2)
+               * jnp.maximum(jnp.abs(prox) - lr * l1, 0.0))
+        dest = _dest(slots, mask, values.shape[0])
+        return _scatter_set(values, dest, new), slot_state
+
+    return SparseOptimizer("proximal_gd", init, apply, fills=())
+
+
+def sparse_proximal_adagrad(
+    learning_rate: Schedule = 0.05,
+    initial_accumulator_value: float = 0.1,
+    l1_regularization_strength: float = 0.0,
+    l2_regularization_strength: float = 0.0,
+) -> SparseOptimizer:
+    """ProximalAdagrad (python/training/proximal_adagrad.py, kernel
+    SparseApplyProximalAdagrad)::
+
+        acc += g*g;  lr_t = lr * rsqrt(acc)
+        prox = var - lr_t*g
+        var  = sign(prox) / (1 + lr_t*l2) * max(|prox| - lr_t*l1, 0)
+    """
+    l1 = np.float32(l1_regularization_strength)
+    l2 = np.float32(l2_regularization_strength)
+
+    def init(values):
+        return {"acc": jnp.full(values.shape, initial_accumulator_value,
+                                jnp.float32)}
+
+    def apply(values, slot_state, slots, grads, mask, step,
+              cur_rows=None, created=None):
+        lr = _lr_at(learning_rate, step)
+        g = grads.astype(jnp.float32)
+        acc0 = slot_state["acc"][slots]
+        if created is not None:
+            acc0 = jnp.where(created[:, None],
+                             np.float32(initial_accumulator_value), acc0)
+        acc = acc0 + g * g
+        lr_t = lr * jax.lax.rsqrt(acc)
+        cur = (cur_rows if cur_rows is not None
+               else values[slots]).astype(jnp.float32)
+        prox = cur - lr_t * g
+        new = (jnp.sign(prox) / (1.0 + lr_t * l2)
+               * jnp.maximum(jnp.abs(prox) - lr_t * l1, 0.0))
+        dest = _dest(slots, mask, values.shape[0])
+        return (_scatter_set(values, dest, new),
+                {"acc": _scatter_set(slot_state["acc"], dest, acc)})
+
+    return SparseOptimizer("proximal_adagrad", init, apply,
+                           fills={"acc": initial_accumulator_value})
+
+
+def sparse_adagrad_decay_v2(
+    learning_rate: Schedule = 0.05,
+    initial_accumulator_value: float = 0.1,
+    accumulator_decay_step: int = 100_000,
+    accumulator_decay_rate: float = 0.9,
+) -> SparseOptimizer:
+    """AdagradDecayOptimizerV2 (python/training/adagrad_decay_v2.py): same
+    periodic accumulator decay as V1, but the decay floor is the INITIAL
+    accumulator value itself (V2 drops V1's separate baseline knob — the
+    accumulator never decays below its starting point, so the effective lr
+    never exceeds the initial lr)."""
+    return sparse_adagrad_decay(
+        learning_rate,
+        initial_accumulator_value=initial_accumulator_value,
+        accumulator_decay_step=accumulator_decay_step,
+        accumulator_decay_rate=accumulator_decay_rate,
+        accumulator_baseline=initial_accumulator_value,
+    )._replace(name="adagrad_decay_v2")
+
+
 def sparse_momentum(learning_rate: Schedule = 0.01, momentum: float = 0.9,
                     use_nesterov: bool = False) -> SparseOptimizer:
     def init(values):
@@ -433,10 +576,14 @@ REGISTRY = {
     "adagrad": sparse_adagrad,
     "adagrad_fused": sparse_adagrad_fused,
     "adagrad_decay": sparse_adagrad_decay,
+    "adagrad_decay_v2": sparse_adagrad_decay_v2,
     "adam": sparse_adam,
+    "adam_fused": sparse_adam_fused,
     "adam_async": sparse_adam_async,
     "ftrl": sparse_ftrl,
     "momentum": sparse_momentum,
+    "proximal_gd": sparse_proximal_gradient_descent,
+    "proximal_adagrad": sparse_proximal_adagrad,
 }
 
 

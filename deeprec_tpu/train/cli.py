@@ -46,8 +46,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_steps", type=int, default=20)
     p.add_argument("--learning_rate", type=float, default=0.05)
     p.add_argument("--optimizer", default="adagrad",
-                   choices=["sgd", "adagrad", "adagrad_decay", "adam",
-                            "adam_async", "ftrl", "momentum"])
+                   choices=["sgd", "adagrad", "adagrad_decay",
+                            "adagrad_decay_v2", "adam", "adam_async",
+                            "ftrl", "momentum", "proximal_gd",
+                            "proximal_adagrad"])
     p.add_argument("--emb_dim", type=int, default=16)
     p.add_argument("--capacity", type=int, default=1 << 19,
                    help="per-shard dynamic-table capacity (pow2)")
@@ -112,6 +114,9 @@ def make_dense_opt(args):
         "adam": lambda: optax.adam(args.learning_rate),
         "adam_async": lambda: optax.adam(args.learning_rate),
         "ftrl": lambda: optax.adagrad(args.learning_rate),
+        "adagrad_decay_v2": lambda: optax.adagrad(args.learning_rate),
+        "proximal_gd": lambda: optax.sgd(args.learning_rate),
+        "proximal_adagrad": lambda: optax.adagrad(args.learning_rate),
     }
     return table[args.optimizer]()
 
@@ -178,18 +183,26 @@ def run(spec: ModelSpec, args) -> dict:
     # fused slot storage: when the sparse optimizer is plain adagrad, store
     # its accumulator inside the values rows (ValuePtr layout) — one
     # optimizer scatter instead of two (~20% step time)
-    if args.optimizer == "adagrad":
-        from ..optim.sparse import sparse_adagrad_fused
+    if args.optimizer in ("adagrad", "adam"):
         from ..feature_column import EmbeddingCollection
+        from ..optim.sparse import sparse_adagrad_fused, sparse_adam_fused
         for name, coll in spec.collections.items():
             if (type(coll) is EmbeddingCollection
                     and coll.config.fused_slot_columns == 0
-                    and spec.sparse_optimizers[name].name == "adagrad"):
-                coll.config = dataclasses.replace(
-                    coll.config, fused_slot_columns=coll.config.embedding_dim,
-                    fused_slot_init=0.1)
-                spec.sparse_optimizers[name] = sparse_adagrad_fused(
-                    args.learning_rate, initial_accumulator_value=0.1)
+                    and spec.sparse_optimizers[name].name == args.optimizer):
+                dim = coll.config.embedding_dim
+                if args.optimizer == "adagrad":
+                    coll.config = dataclasses.replace(
+                        coll.config, fused_slot_columns=dim,
+                        fused_slot_init=0.1)
+                    spec.sparse_optimizers[name] = sparse_adagrad_fused(
+                        args.learning_rate, initial_accumulator_value=0.1)
+                else:  # adam: m and v ride in the values rows
+                    coll.config = dataclasses.replace(
+                        coll.config, fused_slot_columns=2 * dim,
+                        fused_slot_init=0.0)
+                    spec.sparse_optimizers[name] = sparse_adam_fused(
+                        args.learning_rate)
 
     common = dict(
         model=spec.model, numeric_columns=spec.numeric_columns,
