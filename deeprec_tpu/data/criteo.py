@@ -9,7 +9,6 @@ structure (so training can prove AUC lift without the real dataset).
 """
 from __future__ import annotations
 
-import hashlib
 import itertools
 from typing import Dict, Iterator, Optional, Sequence
 
@@ -20,14 +19,33 @@ NUM_CAT = 26
 DENSE_NAMES = [f"I{i}" for i in range(1, 14)]
 CAT_NAMES = [f"C{i}" for i in range(1, 27)]
 
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — byte-for-byte the native mix64
+    (native/deeprec_native.cc:30)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
 
 def _hash_token(tok: str) -> np.int64:
     """Stable 64-bit id for a categorical token (the reference hashes the
-    hex strings via string_to_hash_bucket; we keep full 64-bit fidelity)."""
+    hex strings via string_to_hash_bucket; we keep full 64-bit fidelity).
+
+    IDENTICAL to the native parser's FNV-1a + splitmix hash
+    (native/deeprec_native.cc:39 hash_token), so a run may switch between
+    :func:`read_criteo` and :func:`read_criteo_native` freely — same bytes,
+    same ids (tests/test_criteo_fidelity.py fuzzes the equality)."""
     if not tok:
         return np.int64(-2)  # dedicated "missing" id (must not be -1 = EMPTY)
-    h = hashlib.blake2b(tok.encode(), digest_size=8).digest()
-    v = int.from_bytes(h, "little", signed=True)
+    h = 1469598103934665603  # FNV-1a offset basis
+    for b in tok.encode():
+        h = ((h ^ b) * 1099511628211) & _M64
+    h = _mix64(h)
+    v = h - (1 << 64) if h >= (1 << 63) else h
     return np.int64(-2 if v == -1 else v)
 
 
@@ -40,9 +58,9 @@ def read_criteo_native(
     """Stream batches through the native C++ parser
     (native/deeprec_native.cc criteo_parse — the input-pipeline hot path;
     ~20x the python reader). Falls back to :func:`read_criteo` when the
-    toolchain is unavailable. Token ids use the native FNV/splitmix hash
-    (stable, but distinct from the python reader's blake2b ids — pick one
-    reader per training run)."""
+    toolchain is unavailable; both readers produce IDENTICAL ids (shared
+    FNV-1a + splitmix hash; fuzz-checked byte-for-byte in
+    tests/test_criteo_fidelity.py), so the fallback is transparent."""
     from ..utils.native import criteo_parse_chunk, get_lib
     if get_lib() is None:
         yield from read_criteo(path, batch_size, num_epochs)
