@@ -15,12 +15,14 @@ from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .config import EmbeddingVariableConfig, Initializer
+from .config import CBFFilter, EmbeddingVariableConfig, Initializer
 from .feature_column import (CollectionAux, EmbeddingCollection,
                              EmbeddingColumn, SequenceEmbeddingColumn)
 from .sparse import adaptive as ad
 from .sparse import dynamicdim as dd_mod
 from .sparse import embedding_var as ev
+from .sparse import hash_table_api as hta
+from .sparse import hashtable as ht_mod
 from .sparse import keys as K
 from .sparse import multihash as mh
 
@@ -163,6 +165,156 @@ class AdaptiveCollection(EmbeddingCollection):
 
     def load_factor(self, state):
         return float(ev.load_factor(state.ev))
+
+
+class HTState(NamedTuple):
+    """Hash-table collection state: id allocator + row store (+ the
+    reference's per-table snapshot unit, hash_table.py:142)."""
+
+    alloc: hta.HashTableState
+    table: hta.Tensible
+
+
+class HTAux(NamedTuple):
+    uniq: object               # UniqueResult over the flat keys
+    uids: jax.Array            # [U] dense id per unique key (-1 invalid)
+    created: jax.Array         # [U] allocated this step
+
+
+class HashTableCollection(EmbeddingCollection):
+    """``hash_table_column`` (reference feature_column/hash_table_column.py:49
+    HashTableColumn + python/ops/hash_table/embedding.py): embedding lookup
+    backed by the second KV stack — a dense-id-allocating HashTable plus a
+    TensibleVariable row store — instead of an EmbeddingVariable. Runs
+    through Trainer / the modelzoo CLI unchanged.
+
+    Semantic differences from EV-backed columns, kept on purpose:
+      * ids are allocated densely in admission order (0, 1, 2, ...), so the
+        row store has zero index overhead at gather time;
+      * slot variables are Tensibles over the same id space (reference
+        create_slot, hash_table.py:524);
+      * admission is a counting-Bloom gate on id allocation
+        (bloom_filter_strategy.h).
+    """
+
+    def __init__(self, columns, name: str = "ht",
+                 admit: Optional[CBFFilter] = None, **kwargs):
+        super().__init__(columns, name=name, **kwargs)
+        self.admit = admit
+
+    # -- trainer hooks -----------------------------------------------------
+    def init(self):
+        cap = self.config.capacity
+        return HTState(alloc=hta.create(cap, self.admit),
+                       table=hta.tensible(cap, (self.dim,)))
+
+    def init_slot(self, opt, state):
+        return opt.init(state.table.rows)
+
+    def lookup_or_create(self, state, batch, step):
+        from .ops.unique import unique
+        if isinstance(batch, K.Keys):
+            flat = batch.reshape(-1) if len(batch.shape) > 1 else batch
+        else:
+            flat, _ = self._flatten_ids(batch)
+        uniq = unique(flat, self.config.max_unique)
+        alloc, uids, created = hta.gen_ids_unique(
+            state.alloc, uniq.ukeys, uniq.counts, self.admit,
+            self.config.max_probes)
+        # freshly-allocated ids materialise their deterministic init row
+        # (the reference's initializer runs at TensibleVariable append)
+        init_ids = jnp.where(created & (uids >= 0), uids, -1)
+        table = hta.scatter(state.table, init_ids,
+                            ev.init_rows(self.config, uniq.ukeys))
+        return (HTState(alloc=alloc, table=table),
+                CollectionAux(ev_aux=HTAux(uniq=uniq, uids=uids,
+                                           created=created)))
+
+    def rows_for_training(self, state, aux):
+        return hta.gather(state.table, aux.ev_aux.uids)
+
+    def _valid_flat(self, aux):
+        a = aux.ev_aux
+        return (a.uids >= 0)[a.uniq.inverse]
+
+    def embeddings(self, urows, aux, batch=None):
+        rows = urows[aux.ev_aux.uniq.inverse]
+        return self.embeddings_from_rows(rows, self._valid_flat(aux))
+
+    def sequence_embeddings(self, urows, aux):
+        rows = urows[aux.ev_aux.uniq.inverse]
+        return self.sequence_embeddings_from_rows(rows, self._valid_flat(aux))
+
+    def apply_gradients(self, state, opt, slot_state, aux, urow_grads,
+                        step, urows=None):
+        a = aux.ev_aux
+        table, slot_state = hta.apply_sparse(
+            state.table, opt, slot_state, a.uids, urow_grads, step)
+        return state._replace(table=table), slot_state
+
+    def readonly_rows(self, state, cats):
+        from .ops.unique import unique
+        if isinstance(cats, K.Keys):
+            flat = cats.reshape(-1) if len(cats.shape) > 1 else cats
+        else:
+            flat, _ = self._flatten_ids(cats)
+        uniq = unique(flat, self.config.max_unique)
+        uids = hta.lookup(state.alloc, uniq.ukeys, self.config.max_probes)
+        aux = CollectionAux(ev_aux=HTAux(
+            uniq=uniq, uids=uids, created=jnp.zeros_like(uids, jnp.bool_)))
+        rows = hta.gather(state.table, uids)
+        # unknown keys read their deterministic would-be init (EV parity)
+        init = ev.init_rows(self.config, uniq.ukeys).astype(rows.dtype)
+        rows = jnp.where((uids >= 0)[:, None], rows, init)
+        return aux, rows
+
+    # -- growth (ids are stable, so growth is a copy + index rebuild) -------
+    def needs_growth(self, state):
+        import numpy as np
+        cap = self.config.capacity
+        return (int(np.asarray(state.alloc.next_id)) >= 0.7 * cap
+                or int(np.asarray(state.alloc.index.overflow).sum()) > 0)
+
+    def grow_state(self, state, slot_state, opt=None):
+        import dataclasses
+        import numpy as np
+        cap = self.config.capacity
+        new_cap = cap * 2
+        # re-insert live keys into a double-size index (one device call);
+        # dense ids are stable so row stores just extend
+        live_keys = K.Keys(state.alloc.index.key_hi, state.alloc.index.key_lo)
+        fresh = hta.create(new_cap, self.admit)
+        index, slots, _ = ht_mod.lookup_or_insert(
+            fresh.index, live_keys, self.config.max_probes)
+        old_ids = state.alloc.ids
+        dest = jnp.where(slots < new_cap, slots, new_cap + 1)
+        ids_plane = fresh.ids.at[dest].set(old_ids, mode="drop",
+                                           unique_indices=True)
+        alloc = hta.HashTableState(index=index, ids=ids_plane,
+                                   next_id=state.alloc.next_id,
+                                   cbf=state.alloc.cbf)
+        table = hta.grow(state.table, new_cap)
+
+        fills = opt.fills if opt else None
+
+        def grow_leaf(leaf, fill=0.0):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                    and leaf.shape[0] == cap + 1:
+                fresh_rows = jnp.full((new_cap + 1,) + leaf.shape[1:],
+                                      fill, leaf.dtype)
+                return fresh_rows.at[:cap].set(leaf[:-1])
+            return leaf
+
+        if fills is None:
+            slot_state = jax.tree_util.tree_map(grow_leaf, slot_state)
+        else:
+            slot_state = jax.tree_util.tree_map(grow_leaf, slot_state, fills)
+        self.config = dataclasses.replace(self.config, capacity=new_cap)
+        return HTState(alloc=alloc, table=table), slot_state
+
+    def load_factor(self, state):
+        import numpy as np
+        return float(np.asarray(state.alloc.next_id)) / self.config.capacity
 
 
 class DynamicDimCollection(EmbeddingCollection):

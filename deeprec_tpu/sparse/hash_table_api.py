@@ -56,6 +56,43 @@ def create(capacity: int, admit: Optional[CBFFilter] = None) -> HashTableState:
     )
 
 
+def gen_ids_unique(
+    state: HashTableState,
+    ukeys: K.Keys,
+    counts: jax.Array,
+    admit: Optional[CBFFilter] = None,
+    max_probes: int = 32,
+) -> Tuple[HashTableState, jax.Array, jax.Array]:
+    """Id allocation over ALREADY-UNIQUE keys (the gen_ids core,
+    reference hash_table.py:472 DistributedHashTable.gen_ids per
+    partition). Returns (state, uids [U], created [U]); non-admitted /
+    padding keys get id -1."""
+    cap = state.index.capacity
+    cbf = state.cbf
+    gated = ukeys
+    if admit is not None and cbf is not None:
+        # admission counts once per batch per key (the framework-wide
+        # CounterFilter/CBF semantic; see embedding_var.lookup_or_create)
+        inc = (counts > 0).astype(jnp.int32)
+        cbf, est = ev_mod._cbf_bump_and_estimate(cbf, admit, ukeys, inc)
+        gated = K.where(est >= admit.filter_freq, ukeys,
+                        K.empty_like(ukeys.shape))
+
+    index, slots, created = ht.lookup_or_insert(state.index, gated, max_probes)
+    # assign ids to created slots in rank order (deterministic allocation)
+    order = jnp.cumsum(created.astype(jnp.int32)) - 1
+    new_ids = jnp.where(created, state.next_id + order, 0)
+    dest = jnp.where(created, slots, cap + 1)
+    ids_plane = state.ids.at[dest].set(new_ids, mode="drop", unique_indices=True)
+    n_created = jnp.sum(created.astype(jnp.int32))
+
+    uids = jnp.where(slots < cap, ids_plane[jnp.minimum(slots, cap - 1)], -1)
+    uids = jnp.where(K.is_empty(ukeys), -1, uids)
+    new_state = HashTableState(index=index, ids=ids_plane,
+                               next_id=state.next_id + n_created, cbf=cbf)
+    return new_state, uids, created
+
+
 def lookup_or_create(
     state: HashTableState,
     keys: K.Keys,
@@ -67,29 +104,11 @@ def lookup_or_create(
     reference ops/hash_ops.cc HashTableOp/HashTableLookupOp). New keys get
     fresh ids in allocation order; non-admitted/padding keys get id -1.
     Returns (state, ids [n])."""
-    cap = state.index.capacity
     uniq = unique(keys, max_unique)
-    ukeys, counts = uniq.ukeys, uniq.counts
-
-    cbf = state.cbf
-    gated = ukeys
-    if admit is not None and cbf is not None:
-        cbf, est = ev_mod._cbf_bump_and_estimate(cbf, admit, ukeys, counts)
-        gated = K.where(est >= admit.filter_freq, ukeys, K.empty_like(ukeys.shape))
-
-    index, slots, created = ht.lookup_or_insert(state.index, gated, max_probes)
-    # assign ids to created slots in rank order (deterministic allocation)
-    order = jnp.cumsum(created.astype(jnp.int32)) - 1
-    new_ids = jnp.where(created, state.next_id + order, 0)
-    dest = jnp.where(created, slots, cap + 1)
-    ids_plane = state.ids.at[dest].set(new_ids, mode="drop", unique_indices=True)
-    n_created = jnp.sum(created.astype(jnp.int32))
-
-    uids = jnp.where(slots < cap, ids_plane[jnp.minimum(slots, cap - 1)], -1)
+    state, uids, _created = gen_ids_unique(state, uniq.ukeys, uniq.counts,
+                                           admit, max_probes)
     out = uids[uniq.inverse]
-    out = jnp.where(K.is_empty(keys), -1, out)
-    return HashTableState(index=index, ids=ids_plane,
-                          next_id=state.next_id + n_created, cbf=cbf), out
+    return state, jnp.where(K.is_empty(keys), -1, out)
 
 
 def lookup(state: HashTableState, keys: K.Keys, max_probes: int = 32

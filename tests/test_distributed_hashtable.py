@@ -1,0 +1,197 @@
+"""DistributedHashTable (second KV stack, sharded) + hash_table_column
+(HashTableCollection through the standard Trainer). Mirrors the
+single-table semantics of tests/test_hashtable.py on the mesh:
+dense per-shard id spaces, admission, id stability, gradient exchange."""
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import deeprec_tpu as dr
+from deeprec_tpu import feature_column as fc
+from deeprec_tpu.config import CBFFilter
+from deeprec_tpu.feature_column_variants import HashTableCollection
+from deeprec_tpu.models import ctr
+from deeprec_tpu.optim import sparse as sopt
+from deeprec_tpu.parallel.hash_table import DistributedHashTable
+from deeprec_tpu.parallel.trainer import make_mesh
+from deeprec_tpu.sparse import keys as K
+from deeprec_tpu.train import metrics as M
+from deeprec_tpu.train.trainer import Trainer
+
+
+def _keys_batch(ids, S=4, n=16):
+    """[S, n] per-device key planes from an id list."""
+    arr = np.resize(np.asarray(ids, np.int64), S * n).reshape(S, n)
+    hi, lo = K.split_np(arr)
+    return jnp.asarray(hi), jnp.asarray(lo), arr
+
+
+class TestDistributedHashTable:
+    def _make(self, S=4, **kw):
+        return DistributedHashTable(make_mesh(S), capacity_per_shard=64,
+                                    dim=8, bucket_cap=64, **kw)
+
+    def test_gen_ids_dense_per_shard_and_stable(self):
+        dht = self._make()
+        state = dht.init()
+        hi, lo, arr = _keys_batch(np.arange(1, 33), S=4, n=16)
+        state, ids1 = dht.gen_ids(state, hi, lo)
+        ids1 = np.asarray(ids1).reshape(-1)
+        arrf = arr.reshape(-1)
+        # every key got an id; same key -> same id everywhere
+        assert (ids1 >= 0).all()
+        m = {}
+        for k, i in zip(arrf, ids1):
+            assert m.setdefault(k, i) == i
+        # id -> shard is the owner hash (global id = local*S + shard)
+        from deeprec_tpu.parallel.sharded import OWNER_SEED
+        own = K.hash32_np(arrf, seed=OWNER_SEED) % np.uint32(4)
+        np.testing.assert_array_equal(ids1 % 4, own.astype(ids1.dtype))
+        # ids are dense per shard: shard s's local ids are 0..count-1
+        for s in range(4):
+            loc = np.unique(ids1[ids1 % 4 == s]) // 4
+            np.testing.assert_array_equal(np.sort(loc), np.arange(len(loc)))
+        # second lookup: identical ids (stability), size unchanged
+        n1 = dht.size(state)
+        state, ids2 = dht.gen_ids(state, hi, lo)
+        np.testing.assert_array_equal(ids1, np.asarray(ids2).reshape(-1))
+        assert dht.size(state) == n1 == len(np.unique(arrf))
+
+    def test_snapshot_concatenates_partitions(self):
+        dht = self._make()
+        state = dht.init()
+        hi, lo, arr = _keys_batch(np.arange(100, 140), S=4, n=16)
+        state, ids = dht.gen_ids(state, hi, lo)
+        keys, sids = dht.snapshot(state)
+        assert set(keys.tolist()) == set(arr.reshape(-1).tolist())
+        lookup = dict(zip(arr.reshape(-1).tolist(),
+                          np.asarray(ids).reshape(-1).tolist()))
+        for k, i in zip(keys.tolist(), sids.tolist()):
+            assert lookup[k] == i
+
+    def test_admission_gate(self):
+        dht = self._make(admit=CBFFilter(filter_freq=2, max_element_size=1000))
+        state = dht.init()
+        hi, lo, arr = _keys_batch(np.arange(1, 9), S=4, n=8)
+        state, ids1 = dht.gen_ids(state, hi, lo)
+        assert (np.asarray(ids1) == -1).all()  # first sighting: not admitted
+        state, ids2 = dht.gen_ids(state, hi, lo)
+        assert (np.asarray(ids2) >= 0).all()   # second sighting: admitted
+
+    def test_gradient_exchange_updates_owner_rows(self):
+        """The cotangent of the returned rows lands on the OWNER shard's
+        table rows (summed over requesters) — SOK all2all grad semantics."""
+        dht = self._make()
+        state = dht.init()
+        # every device asks for THE SAME key -> its row grad must be the
+        # SUM over the 4 requesters
+        arr = np.full((4, 8), 7, np.int64)
+        hi, lo = (jnp.asarray(x) for x in K.split_np(arr))
+        state, ids = dht.gen_ids(state, hi, lo)
+        ct = jnp.ones((4, 8, 8), jnp.float32)  # d(rows): one per key slot
+        st2, rows, valid, d_rows = dht.lookup_and_grads(state, hi, lo, ct)
+        d = np.asarray(d_rows)  # [S*(cap+1), dim] global
+        gid = int(np.asarray(ids).reshape(-1)[0])
+        shard, local = gid % 4, gid // 4
+        row = d[shard * 65 + local]
+        np.testing.assert_allclose(row, 4 * 8 * 1.0)  # 4 devices x 8 copies
+        # and ONLY that row got cotangent
+        assert np.count_nonzero(d.sum(-1)) == 1
+
+    def test_apply_cotangent_trains(self):
+        dht = self._make()
+        state = dht.init()
+        opt = sopt.sparse_sgd(0.5)
+        slot = dht.init_slot(opt, state)
+        arr = np.resize(np.arange(1, 17, dtype=np.int64), (4, 16))
+        hi, lo = (jnp.asarray(x) for x in K.split_np(arr))
+        state, ids = dht.gen_ids(state, hi, lo)
+        rows_before = np.asarray(state.table.rows).copy()
+        ct = jnp.ones((4, 16, 8), jnp.float32)
+        state, slot, rows, valid = dht.apply_cotangent(
+            state, opt, slot, hi, lo, ct, jnp.zeros((), jnp.int32))
+        assert bool(np.asarray(valid).all())
+        moved = np.abs(np.asarray(state.table.rows) - rows_before).sum(-1)
+        assert np.count_nonzero(moved) == 16  # exactly the touched ids
+
+
+class TestHashTableColumn:
+    """hash_table_column -> HashTableCollection through the Trainer."""
+
+    def _make(self, admit=None, capacity=256):
+        cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8)
+                for n in ("C1", "C2")]
+        coll = HashTableCollection(
+            cols, name="ht", capacity=capacity, admit=admit,
+            initializer=dr.Initializer("normal", scale=0.1))
+        model = ctr.DCN(emb_names=["C1", "C2"], cross_layers=1,
+                        deep_units=(16,))
+        return Trainer(model, [fc.NumericColumn("I1")], {"emb": coll},
+                       {"emb": sopt.sparse_adagrad(0.5)}, optax.adagrad(0.05))
+
+    def _batch(self, rng, bs=64, vocab=64):
+        b = {"I1": rng.normal(size=bs).astype(np.float32)}
+        for n in ("C1", "C2"):
+            b[n] = rng.integers(0, vocab, bs).astype(np.int64)
+        b["label"] = (b["C1"] % 2).astype(np.float32)
+        return b
+
+    def test_trains_and_learns(self):
+        tr = self._make()
+        rng = np.random.default_rng(0)
+        state = tr.init(jax.random.key(0), self._batch(rng))
+        for _ in range(40):
+            state = tr.train_step(state, self._batch(rng))
+        state = tr.reset_metrics(state)
+        for _ in range(10):
+            state = tr.train_step(state, self._batch(rng))
+        m = M.summarize(state.metrics)
+        assert m["auc"] > 0.75, m
+        # dense id space: exactly vocab C1-ids + vocab C2-ids allocated
+        assert int(np.asarray(state.tables["emb"].ev.alloc.next_id)) <= 128
+
+    def test_eval_matches_train_rows(self):
+        tr = self._make()
+        rng = np.random.default_rng(1)
+        b = self._batch(rng)
+        state = tr.init(jax.random.key(0), b)
+        for _ in range(3):
+            state = tr.train_step(state, b)
+        mstate = tr.eval_step(state, tr.reset_metrics(state).metrics, b)
+        assert np.isfinite(float(mstate.loss_sum))
+
+    def test_growth_keeps_ids_and_rows(self):
+        tr = self._make(capacity=64)
+        coll = tr.collections["emb"]
+        rng = np.random.default_rng(2)
+        state = tr.init(jax.random.key(0), self._batch(rng, vocab=50))
+        for _ in range(3):
+            state = tr.train_step(state, self._batch(rng, vocab=50))
+        b = state.tables["emb"]
+        assert coll.needs_growth(b.ev)
+        ids_before = np.asarray(b.ev.alloc.ids).copy()
+        keys_hi = np.asarray(b.ev.alloc.index.key_hi)
+        keys_lo = np.asarray(b.ev.alloc.index.key_lo)
+        rows_before = np.asarray(b.ev.table.rows)
+        grown = tr.maybe_grow(state)
+        assert coll.config.capacity == 128
+        g = grown.tables["emb"].ev
+        # every live key kept its dense id, and its row moved with it
+        live = ~((keys_hi == -1) & (keys_lo == -1))
+        k64 = ((keys_hi[live].astype(np.int64) << 32)
+               | keys_lo[live].astype(np.uint32).astype(np.int64))
+        from deeprec_tpu.sparse import hash_table_api as hta
+        ids_after = np.asarray(hta.lookup(g.alloc, K.from_numpy(k64)))
+        old_ids = []
+        from deeprec_tpu.sparse import hashtable as ht_mod
+        slots, found = ht_mod.lookup(b.ev.alloc.index, K.from_numpy(k64), 32)
+        old_ids = ids_before[np.asarray(slots)]
+        np.testing.assert_array_equal(ids_after, old_ids)
+        np.testing.assert_allclose(np.asarray(g.table.rows)[ids_after],
+                                   rows_before[old_ids])
+        # training continues post-growth
+        grown = tr.train_step(grown, self._batch(rng, vocab=50))
+        assert np.isfinite(float(grown.metrics.loss_sum))
