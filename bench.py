@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--emb-dim", type=int, default=16)
     ap.add_argument("--capacity", type=int, default=1 << 21)
+    ap.add_argument("--sharded", action="store_true",
+                    help="run the FULL sharded exchange path on a 1-device "
+                         "mesh (times the all_to_all/bucketing machinery)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute in the dense towers")
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.steps, args.capacity = 512, 10, 1 << 16
@@ -49,10 +54,19 @@ def main():
         # ValuePtr-style fused slot storage: adagrad accumulator lives in
         # the values rows -> one optimizer scatter instead of two
         fused_slot_columns=args.emb_dim, fused_slot_init=0.1)
+    import jax.numpy as jnp
     model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=args.emb_dim,
-                     bottom_units=(512, 256), top_units=(1024, 1024, 512, 256))
-    tr = Trainer(model, numeric, {"emb": coll},
-                 {"emb": sopt.sparse_adagrad_fused(0.05)}, optax.adagrad(0.05))
+                     bottom_units=(512, 256), top_units=(1024, 1024, 512, 256),
+                     compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    common = dict(model=model, numeric_columns=numeric,
+                  collections={"emb": coll},
+                  sparse_optimizers={"emb": sopt.sparse_adagrad_fused(0.05)},
+                  dense_optimizer=optax.adagrad(0.05))
+    if args.sharded:
+        from deeprec_tpu.parallel.trainer import ShardedTrainer, make_mesh
+        tr = ShardedTrainer(mesh=make_mesh(1), **common)
+    else:
+        tr = Trainer(**common)
 
     gen = SyntheticCriteo(batch_size=args.batch, seed=7)
     warm = 5
@@ -75,8 +89,11 @@ def main():
     dt = time.perf_counter() - t0
 
     eps = args.steps * args.batch / dt
+    name = "dlrm_criteo_examples_per_sec_per_chip"
+    if args.sharded:
+        name = "dlrm_criteo_sharded_examples_per_sec_per_chip"
     print(json.dumps({
-        "metric": "dlrm_criteo_examples_per_sec_per_chip",
+        "metric": name,
         "value": round(eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(eps / BASELINE_EXAMPLES_PER_SEC, 3),
