@@ -94,15 +94,38 @@ class FMInteraction(nn.Module):
 
 class Dice(nn.Module):
     """Dice activation (DIN, modelzoo/DIN/script/utils.py): a data-adaptive
-    PReLU where the gate is a sigmoid of the batch-normalised input."""
+    PReLU where the gate is a sigmoid of the batch-normalised input.
+
+    Training normalises with live batch statistics and folds them into
+    running averages (the reference's tf.layers.batch_normalization inside
+    dice); eval uses the RUNNING stats, so serving output is independent of
+    eval-batch composition. The running stats live in the ``batch_stats``
+    flax collection — the trainers thread it automatically."""
 
     epsilon: float = 1e-9
+    momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
-        mean = jnp.mean(x, axis=0, keepdims=True)
-        var = jnp.var(x, axis=0, keepdims=True)
+        dim = x.shape[-1]
+        alpha = self.param("alpha", nn.initializers.zeros, (dim,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((dim,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((dim,), jnp.float32))
+        if train:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+            if self.is_mutable_collection("batch_stats") \
+                    and not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * \
+                    jax.lax.stop_gradient(mean.astype(jnp.float32))
+                ra_var.value = m * ra_var.value + (1 - m) * \
+                    jax.lax.stop_gradient(var.astype(jnp.float32))
+        else:
+            mean = ra_mean.value.astype(x.dtype)
+            var = ra_var.value.astype(x.dtype)
         p = jax.nn.sigmoid((x - mean) * jax.lax.rsqrt(var + self.epsilon))
         return p * x + (1.0 - p) * alpha * x
 

@@ -95,12 +95,14 @@ class DIEN(nn.Module):
 
         if return_aux and self.use_aux_loss:
             # auxiliary loss: GRU state at t should predict behaviour t+1
-            # (binary: true next item vs. a shuffled negative)
-            pos = jnp.sum(states[:, :-1, :] * nn.Dense(
-                self.gru_units, name="aux_proj")(hist[:, 1:, :]), axis=-1)
+            # (binary: true next item vs. a shuffled negative). ONE shared
+            # projection scores both — the reference's auxiliary_net is a
+            # single MLP applied to positive and negative pairs
+            # (modelzoo/DIEN/script/model.py auxiliary_loss)
+            aux_net = nn.Dense(self.gru_units, name="aux_proj")
+            pos = jnp.sum(states[:, :-1, :] * aux_net(hist[:, 1:, :]), axis=-1)
             neg_items = jnp.roll(hist[:, 1:, :], 1, axis=0)
-            neg = jnp.sum(states[:, :-1, :] * nn.Dense(
-                self.gru_units, name="aux_proj_n")(neg_items), axis=-1)
+            neg = jnp.sum(states[:, :-1, :] * aux_net(neg_items), axis=-1)
             m = mask[:, 1:].astype(jnp.float32)
             aux = -(jnp.log(jax.nn.sigmoid(pos) + 1e-8) +
                     jnp.log(1 - jax.nn.sigmoid(neg) + 1e-8)) * m

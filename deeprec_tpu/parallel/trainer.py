@@ -248,13 +248,20 @@ class ShardedTrainer:
                                                 self.axis, caps[name])
                 outputs[name] = (coll.embeddings_from_rows(rows, valid),
                                  coll.sequence_embeddings_from_rows(rows, valid))
-            out = self.forward(functools.partial(self.model.apply, params),
-                               dense, outputs, True)
+            box = {}
+
+            def apply_fn(*a, **kw):
+                out, upd = self.model.apply(params, *a,
+                                            mutable=["batch_stats"], **kw)
+                box["updates"] = upd
+                return out
+
+            out = self.forward(apply_fn, dense, outputs, True)
             logits, aux_loss = out if isinstance(out, tuple) else (out, 0.0)
             loss = bce_loss(logits, labels) + self.aux_loss_weight * aux_loss
-            return loss, logits
+            return loss, (logits, box.get("updates", {}))
 
-        (loss, logits), (gp, gu) = jax.value_and_grad(
+        (loss, (logits, bs_updates)), (gp, gu) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, urows)
 
         # sparse: owner-side apply of the summed cotangents scaled to the
@@ -267,7 +274,7 @@ class ShardedTrainer:
                 coll, bundle.ev, self.sparse_optimizers[name], bundle.slot,
                 auxs[name], gu[name] * inv_s, step)
             new_tables[name] = bundle._replace(ev=ev_state, slot=slot)
-        return new_tables, gp, loss, logits
+        return new_tables, gp, loss, logits, bs_updates
 
     def _train_step(self, state: TrainState, dense, cats, labels):
         step = state.step
@@ -275,7 +282,7 @@ class ShardedTrainer:
             dense = normalize_dense(self.numeric_columns, dense)
 
         if self.microbatches == 1:
-            tables, gp, loss, logits = self._microstep(
+            tables, gp, loss, logits, bs_updates = self._microstep(
                 state.params, state.tables, dense, cats, labels, step)
         else:
             # AutoMicroBatch on the mesh (PipelineGraph analog,
@@ -295,23 +302,26 @@ class ShardedTrainer:
             def body(carry, mb):
                 tables, gp_acc, loss_acc = carry
                 d, c, l = mb
-                tables, gp, loss, logits = self._microstep(
+                tables, gp, loss, logits, bs_up = self._microstep(
                     state.params, tables, d, c, l, step)
                 gp_acc = jax.tree_util.tree_map(jnp.add, gp_acc, gp)
-                return (tables, gp_acc, loss_acc + loss), logits
+                return (tables, gp_acc, loss_acc + loss), (logits, bs_up)
 
             gp0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (tables, gp, loss_sum), logits_mb = jax.lax.scan(
+            (tables, gp, loss_sum), (logits_mb, bs_mb) = jax.lax.scan(
                 body, (state.tables, gp0, jnp.zeros(())),
                 (mb_dense, mb_cats, mb_labels))
             gp = jax.tree_util.tree_map(lambda g: g / k, gp)
             loss = loss_sum / k
             logits = logits_mb.reshape(-1)
+            bs_updates = jax.tree_util.tree_map(lambda x: x[-1], bs_mb)
 
         # dense: sync DP (psum-mean) once per step
         gp = jax.lax.pmean(gp, self.axis)
         updates, opt_state = self.dense_optimizer.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        from ..train.trainer import _merge_batch_stats
+        params = _merge_batch_stats(params, bs_updates)
 
         delta = metrics_lib.update(metrics_lib.create(state.metrics.pos_hist.shape[0]),
                                    logits, labels.reshape(logits.shape), loss)

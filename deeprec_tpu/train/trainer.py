@@ -58,6 +58,17 @@ def bce_loss(logits, labels):
     return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels.astype(jnp.float32)))
 
 
+def _merge_batch_stats(params, bs_updates):
+    """Fold the train pass's mutable-collection snapshot (Dice/BatchNorm
+    running averages) back into the variables dict. No-op for models
+    without a batch_stats collection."""
+    if not bs_updates or "batch_stats" not in bs_updates:
+        return params
+    merged = dict(params)
+    merged["batch_stats"] = bs_updates["batch_stats"]
+    return type(params)(merged) if not isinstance(params, dict) else merged
+
+
 def _np_global(arr) -> np.ndarray:
     """Full host value of a possibly process-spanning array (tiny arrays
     only: sizes/overflow/health counters)."""
@@ -167,18 +178,28 @@ class Trainer:
             for name, coll in self.collections.items():
                 outputs[name] = (coll.embeddings(urows[name], auxs[name]),
                                  coll.sequence_embeddings(urows[name], auxs[name]))
-            out = self.forward(functools.partial(self.model.apply, params),
-                               dense, outputs, train)
+            # train applies with batch_stats mutable (Dice running averages
+            # etc.); the updates escape the grad via the aux output and are
+            # merged into params by the caller
+            box = {}
+
+            def apply_fn(*a, **kw):
+                out, upd = self.model.apply(params, *a,
+                                            mutable=["batch_stats"], **kw)
+                box["updates"] = upd
+                return out
+
+            out = self.forward(apply_fn, dense, outputs, train)
             if isinstance(out, tuple):
                 logits, aux_loss = out
             else:
                 logits, aux_loss = out, 0.0
             loss = bce_loss(logits, labels) + self.aux_loss_weight * aux_loss
-            return loss, logits
+            return loss, (logits, box.get("updates", {}))
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            params, urows)
-        return loss, logits, grads, urows
+        (loss, (logits, bs_updates)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, urows)
+        return loss, logits, grads, urows, bs_updates
 
     def _apply_sparse(self, tables, auxs, urow_grads, step, urows=None):
         out = {}
@@ -199,7 +220,7 @@ class Trainer:
 
         if self.microbatches == 1:
             tables, auxs = self._sparse_forward(state.tables, cats, step)
-            loss, logits, (gp, gu), urows = self._loss_and_grads(
+            loss, logits, (gp, gu), urows, bs_updates = self._loss_and_grads(
                 state.params, tables, auxs, dense, labels)
             tables = self._apply_sparse(tables, auxs, gu, step, urows)
         else:
@@ -216,23 +237,26 @@ class Trainer:
                 tables, gp_acc, loss_acc = carry
                 d, c, l = mb
                 tables, auxs = self._sparse_forward(tables, c, step)
-                loss, logits, (gp, gu), urows = self._loss_and_grads(
+                loss, logits, (gp, gu), urows, bs_up = self._loss_and_grads(
                     state.params, tables, auxs, d, l)
                 tables = self._apply_sparse(tables, auxs, gu, step, urows)
                 gp_acc = jax.tree_util.tree_map(jnp.add, gp_acc, gp)
-                return (tables, gp_acc, loss_acc + loss), logits
+                return (tables, gp_acc, loss_acc + loss), (logits, bs_up)
 
             gp0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (tables, gp, loss_sum), logits_mb = jax.lax.scan(
+            (tables, gp, loss_sum), (logits_mb, bs_mb) = jax.lax.scan(
                 body, (state.tables, gp0, jnp.zeros(())),
                 (mb_dense, mb_cats, mb_labels))
             gp = jax.tree_util.tree_map(lambda g: g / k, gp)
             loss = loss_sum / k
             logits = logits_mb.reshape(-1)
+            # running stats: the LAST microbatch's snapshot wins
+            bs_updates = jax.tree_util.tree_map(lambda x: x[-1], bs_mb)
             labels = labels  # original layout matches reshape of mb split
 
         updates, opt_state = self.dense_optimizer.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = _merge_batch_stats(params, bs_updates)
         m = metrics_lib.update(state.metrics, logits, labels.reshape(logits.shape), loss)
         return TrainState(params=params, opt_state=opt_state, tables=tables,
                           metrics=m, step=step + 1)
