@@ -315,6 +315,22 @@ class EmbeddingCollection:
     def init_slot(self, opt, state) -> object:
         return opt.init(state.values)
 
+    def embeddings_readonly(self, urows, aux):
+        """(pooled dict, sequence dict) for the EVAL/SERVING path: every
+        non-padding key participates — unknown keys were already given
+        their deterministic default row by :meth:`readonly_rows`
+        (KvResourceGather returns default_value for missing keys; the
+        reference pools them like any other id). The sharded eval exchange
+        has these semantics too, so local and mesh eval agree."""
+        a = aux.ev_aux
+        if not hasattr(a, "uniq"):  # variant collections (flat-aux types)
+            return (self.embeddings(urows, aux),
+                    self.sequence_embeddings(urows, aux))
+        rows = urows[a.uniq.inverse]
+        valid = (~K.is_empty(a.uniq.ukeys))[a.uniq.inverse]
+        return (self.embeddings_from_rows(rows, valid),
+                self.sequence_embeddings_from_rows(rows, valid))
+
     def readonly_rows(self, state, cats):
         """(aux, unique rows) without mutation — the eval/serving path."""
         from .sparse import hashtable as ht  # local: avoid cycle at import

@@ -161,8 +161,7 @@ class Predictor:
         outputs = {}
         for name, coll in self.collections.items():
             aux, urows = _readonly_lookup(coll, tables[name], cats[name])
-            outputs[name] = (coll.embeddings(urows, aux),
-                             coll.sequence_embeddings(urows, aux))
+            outputs[name] = coll.embeddings_readonly(urows, aux)
         fwd = self.forward or _default_forward
         import functools
         out = fwd(functools.partial(self.model.apply, params),
@@ -184,3 +183,223 @@ class Predictor:
 def _default_forward(apply_fn, dense, outputs, train):
     from ..train.trainer import default_forward
     return default_forward(apply_fn, dense, outputs, train)
+
+
+class ShardedPredictor(Predictor):
+    """Serving for tables larger than one chip's HBM: the checkpoint is
+    restored ROW-SHARDED over a device mesh (the same owner-hash routing as
+    training and reshard-on-restore), and inference runs the read-only
+    all_to_all exchange per batch shard — the serving analog of the
+    reference's sharded PS serving graph (SURVEY.md §2.6; sessions route
+    lookups to the PS holding each partition).
+
+    The request batch is data-parallel over the mesh (padded to a multiple
+    of the shard count); ``predict`` returns the [B] probabilities.
+    """
+
+    def __init__(self, model, numeric_columns, collections, ckpt_dir,
+                 mesh, forward=None, axis: str = "dp"):
+        self.mesh = mesh
+        self.axis = axis
+        self.S = int(np.prod(mesh.devices.shape))
+        super().__init__(model, numeric_columns, collections, ckpt_dir,
+                         forward=forward)
+
+    # -- sharded (re)loading ------------------------------------------------
+    def _stack(self, shard_states):
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.multihost import host_to_global
+
+        def stack(*leaves):
+            l0 = leaves[0]
+            if hasattr(l0, "ndim") and l0.ndim >= 1:
+                glob = np.concatenate([np.asarray(l) for l in leaves], axis=0)
+                return host_to_global(self.mesh, P(self.axis), glob)
+            return host_to_global(self.mesh, P(), leaves[0])
+
+        return jax.tree_util.tree_map(stack, *shard_states)
+
+    def _unstack(self, coll, state):
+        """Stacked global state -> per-shard host EVStates."""
+        from ..parallel.multihost import addressable_blocks
+        cap = coll.config.capacity
+        cap1 = cap + 1
+
+        def blocks(leaf, per):
+            return addressable_blocks(leaf, self.S, per)
+
+        out = []
+        idx = state.index
+        kh = blocks(idx.key_hi, cap)
+        kl = blocks(idx.key_lo, cap)
+        sz = blocks(idx.size, idx.size.shape[0] // self.S)
+        ov = blocks(idx.overflow, idx.overflow.shape[0] // self.S)
+        vals = blocks(state.values, cap1)
+        fr = blocks(state.freqs, cap1)
+        vr = blocks(state.versions, cap1)
+        cs = blocks(state.create_steps, cap1)
+        cb = (blocks(state.cbf, state.cbf.shape[0] // self.S)
+              if state.cbf is not None else None)
+        from ..sparse import hashtable as ht
+        for s in range(self.S):
+            out.append(ev.EVState(
+                index=ht.HashTable(key_hi=jnp.asarray(kh[s]),
+                                   key_lo=jnp.asarray(kl[s]),
+                                   size=jnp.asarray(sz[s]),
+                                   overflow=jnp.asarray(ov[s])),
+                values=jnp.asarray(vals[s]), freqs=jnp.asarray(fr[s]),
+                versions=jnp.asarray(vr[s]), create_steps=jnp.asarray(cs[s]),
+                cbf=jnp.asarray(cb[s]) if cb is not None else None))
+        return out
+
+    def _load_base(self, manifest):
+        from ..checkpoint.saver import route_to_shards
+        for name, coll in self.collections.items():
+            arrays = F.read_table(manifest["path"], name)
+            per_shard = int(np.ceil(arrays["keys"].shape[0] / self.S)) + 8
+            cap = needed_capacity(per_shard, coll.config.capacity)
+            if cap != coll.config.capacity:
+                coll.config = dataclasses.replace(coll.config, capacity=cap)
+            routed = route_to_shards(arrays, self.S)
+            shards = []
+            for s in range(self.S):
+                st = ev.create(coll.config)
+                slot = self._noopt.init(st.values)
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
+                                       routed[s])
+                shards.append(st)
+            self.tables[name] = self._stack(shards)
+        self._load_dense(manifest)
+        self._applied_steps.add(manifest["step"])
+        self._jit_predict = None
+
+    def _apply_save(self, manifest):
+        from ..checkpoint.saver import route_to_shards
+        if manifest["step"] in self._applied_steps:
+            return
+        for name, coll in self.collections.items():
+            arrays = F.read_table(manifest["path"], name)
+            shards = self._unstack(coll, self.tables[name])
+            n_new = arrays["keys"].shape[0]
+            sizes = [int(np.asarray(s.index.size).sum()) for s in shards]
+            cap = needed_capacity(max(sizes) + n_new, coll.config.capacity)
+            if cap != coll.config.capacity:
+                grown = []
+                for s in shards:
+                    s2, _ = ev.grow(s, coll.config, cap)
+                    grown.append(s2)
+                shards = grown
+                coll.config = dataclasses.replace(coll.config, capacity=cap)
+                self._jit_predict = None
+            routed = route_to_shards(arrays, self.S)
+            out = []
+            for s, st in enumerate(shards):
+                slot = self._noopt.init(st.values)
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
+                                       routed[s])
+                out.append(st)
+            self.tables[name] = self._stack(out)
+        self._load_dense(manifest)
+        self.params = None
+        self._applied_steps.add(manifest["step"])
+
+    # -- sharded inference ---------------------------------------------------
+    def _materialize_params(self, sample_batch):
+        """Dense params are replicated; build the treedef from a host-side
+        init on zero embeddings (no device exchange needed)."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.multihost import host_to_global
+        dense, cats, _ = self._prepare_host(sample_batch)
+        outputs = {}
+        for name, coll in self.collections.items():
+            B = next(iter(sample_batch.values())).shape[0]
+            rows = jnp.zeros((coll.total_width * B, coll.dim), jnp.float32)
+            valid = jnp.ones((coll.total_width * B,), bool)
+            outputs[name] = (coll.embeddings_from_rows(rows, valid),
+                             coll.sequence_embeddings_from_rows(rows, valid))
+        fwd = self.forward or _default_forward
+        d = jnp.asarray(dense) if dense is not None else None
+        template = fwd(functools.partial(self.model.init, jax.random.key(0)),
+                       d, outputs, False)
+        tl, treedef = jax.tree_util.tree_flatten(template)
+        saved = self._dense_leaves[:len(tl)]
+        if [tuple(l.shape) for l in saved] != [tuple(l.shape) for l in tl]:
+            raise ValueError("checkpoint dense leaves do not match the "
+                             "model's parameter structure")
+        put = lambda x: host_to_global(self.mesh, P(), np.asarray(x))
+        self.params = jax.tree_util.tree_unflatten(
+            treedef, [put(s) for s in saved])
+
+    def _prepare_host(self, batch):
+        from ..feature_column import pack_dense
+        from ..sparse import keys as K
+        dense = (pack_dense(self.numeric_columns, batch)
+                 if self.numeric_columns else None)
+        cats = {name: K.split_np(coll.pack_ids_np(batch))
+                for name, coll in self.collections.items()}
+        return dense, cats, batch.get("label")
+
+    def _predict_device(self, params, tables, dense, cats):
+        from ..parallel import sharded
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+        outputs = {}
+        for name, coll in self.collections.items():
+            flat = cats[name].reshape(-1)
+            U = flat.shape[0]
+            cap = max(2 * U // max(self.S, 1), 8)
+            cap = 1 << (cap - 1).bit_length()
+            rows, valid = sharded.exchange_lookup_readonly(
+                coll, tables[name], flat, self.axis, cap)
+            outputs[name] = (coll.embeddings_from_rows(rows, valid),
+                             coll.sequence_embeddings_from_rows(rows, valid))
+        fwd = self.forward or _default_forward
+        import functools
+        out = fwd(functools.partial(self.model.apply, params),
+                  dense, outputs, False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jax.nn.sigmoid(logits)
+
+    def predict(self, batch) -> np.ndarray:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.multihost import globalize
+        from ..sparse import keys as K
+        dense, cats, _ = self._prepare_host(batch)
+        B = next(iter(batch.values())).shape[0]
+        pad = (-B) % self.S
+        if pad:
+            def pad_b(x, fill):
+                return np.concatenate(
+                    [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+            if dense is not None:
+                dense = pad_b(np.asarray(dense), 0)
+            cats = {n: (np.concatenate([h, np.full((h.shape[0], pad), -1,
+                                                   h.dtype)], axis=1),
+                        np.concatenate([l, np.full((l.shape[0], pad), -1,
+                                                   l.dtype)], axis=1))
+                    for n, (h, l) in cats.items()}
+        if self.params is None:
+            self._materialize_params(batch)
+        if self._jit_predict is None:
+            table_specs = {
+                n: jax.tree_util.tree_map(lambda _: P(self.axis), t)
+                for n, t in self.tables.items()}
+            self._jit_predict = jax.jit(jax.shard_map(
+                self._predict_device, mesh=self.mesh,
+                in_specs=(P(), table_specs,
+                          P(self.axis, None) if dense is not None else P(),
+                          {n: K.Keys(P(None, self.axis), P(None, self.axis))
+                           for n in self.collections}),
+                out_specs=P(self.axis), check_vma=False))
+        g = lambda spec, x: globalize(self.mesh, spec, x)
+        dense_g = (g(P(self.axis, None), dense) if dense is not None else None)
+        cats_g = {n: K.Keys(g(P(None, self.axis), h), g(P(None, self.axis), l))
+                  for n, (h, l) in cats.items()}
+        out = np.asarray(self._jit_predict(self.params, self.tables,
+                                           dense_g, cats_g))
+        return out[:B]

@@ -273,8 +273,7 @@ class Trainer:
             urows[name] = rows
         outputs = {}
         for name, coll in self.collections.items():
-            outputs[name] = (coll.embeddings(urows[name], auxs[name]),
-                             coll.sequence_embeddings(urows[name], auxs[name]))
+            outputs[name] = coll.embeddings_readonly(urows[name], auxs[name])
         out = self.forward(functools.partial(self.model.apply, state.params),
                            dense, outputs, False)
         logits = out[0] if isinstance(out, tuple) else out

@@ -63,7 +63,7 @@ def test_predictor_matches_trainer_eval(tmp_path):
     from deeprec_tpu.train.trainer import _readonly_lookup
     d = normalize_dense(numeric, dense)
     aux, urows = _readonly_lookup(coll, state.tables["emb"].ev, cats["emb"])
-    emb = coll.embeddings(urows, aux)
+    emb, _seq = coll.embeddings_readonly(urows, aux)
     logits = model.apply(state.params, d, emb, train=False)
     np.testing.assert_allclose(probs, np.asarray(jax.nn.sigmoid(logits)),
                                rtol=2e-4, atol=2e-5)
