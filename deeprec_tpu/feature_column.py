@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import EmbeddingVariableConfig, Initializer
-from .ops.unique import unique
+from .ops.unique import unique, unique_cols
 from .sparse import embedding_var as ev
 from .sparse import keys as K
 
@@ -146,6 +146,12 @@ class EmbeddingCollection:
         for c in self.columns:
             g = c.categorical.shared_embedding or c.categorical.name
             self._salts.append(groups.setdefault(g, len(groups)))
+        # column-parallel dedup (ops.unique.unique_cols) needs every key
+        # confined to ONE row of the [W, B] layout: width-1 columns with
+        # pairwise-distinct salt groups (no shared embeddings / sequences)
+        self._column_dedup_ok = (
+            all(w == 1 for w in self._widths)
+            and len(set(self._salts)) == len(self._salts))
 
     # -- state ---------------------------------------------------------
     def init(self) -> ev.EVState:
@@ -214,6 +220,14 @@ class EmbeddingCollection:
     ) -> Tuple[ev.EVState, CollectionAux]:
         """``batch``: either a raw per-column dict or a pre-packed flat
         :class:`K.Keys` from :meth:`pack_ids` (the fast host path)."""
+        if isinstance(batch, K.Keys) and len(batch.shape) == 2 \
+                and self._column_dedup_ok:
+            # batched per-column sort: the cheapest dedup on TPU (the sort
+            # is the step's most expensive op; see ops.unique.unique_cols)
+            uniq = unique_cols(batch, self.config.max_unique)
+            state, aux = ev.lookup_or_create_unique(state, self.config,
+                                                    uniq, step)
+            return state, CollectionAux(ev_aux=aux)
         if isinstance(batch, K.Keys):
             flat = batch.reshape(-1) if len(batch.shape) > 1 else batch
         else:

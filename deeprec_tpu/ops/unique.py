@@ -58,6 +58,86 @@ def _group_counts(scatter_to: jax.Array, iota: jax.Array, n: int) -> jax.Array:
     return starts[1:] - starts[:-1]
 
 
+def unique_cols(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
+    """Column-parallel dedup of a feature-major ``[W, B]`` key batch.
+
+    Semantically identical to ``unique(ids.reshape(-1))`` (the flat layout
+    is feature-major, so flat index = w*B + b) — but the sort runs as W
+    INDEPENDENT row sorts of width B instead of one sort of width W*B.
+    ``lax.sort`` is the train step's most expensive op (bitonic depth
+    log^2): at Criteo shapes (26 x 4096) the batched form halves the
+    dedup cost measured on-chip.
+
+    VALID ONLY when every key can appear in a single row: width-1 columns
+    with pairwise-distinct salt groups (no shared embeddings, no sequence
+    columns). A key recurring across two rows would produce two unique
+    groups claiming one table slot — duplicate scatter destinations
+    downstream. ``EmbeddingCollection`` checks eligibility and falls back
+    to :func:`unique`. Cross-column duplicates after salting require an
+    exact 64-bit key equality across different XOR salts (~2^-64 per pair)
+    and degrade one step's update for that key, not correctness of the
+    store.
+    """
+    W, B = ids.shape
+    n = W * B
+    cap = n if max_unique is None or max_unique >= n else max_unique
+    u_out = cap + 1 if cap < n else n
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (W, B), 1)
+    shi, slo, spos = jax.lax.sort((ids.hi, ids.lo, pos), num_keys=2)
+    skeys = K.Keys(shi, slo)
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (W, B), 1)
+    prev = K.Keys(shi[:, jnp.maximum(jnp.arange(B) - 1, 0)],
+                  slo[:, jnp.maximum(jnp.arange(B) - 1, 0)])
+    first = ~K.eq(skeys, prev)
+    first = first.at[:, 0].set(True)
+
+    # per-row group rank and group count
+    uid_row = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    groups_per_row = uid_row[:, -1] + 1
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(groups_per_row)[:-1]])
+    guid = offsets[:, None] + uid_row
+    over = guid >= cap
+    guid_c = jnp.where(over, cap, guid)
+
+    # inverse in flat feature-major layout: one collision-free scatter
+    row_base = (jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) * B)
+    inverse = jnp.zeros((n,), jnp.int32).at[
+        (row_base + spos).reshape(-1)].set(guid_c.reshape(-1),
+                                           unique_indices=True)
+
+    scatter_to = jnp.where(first & ~over, guid, u_out + 2).reshape(-1)
+    ukeys = K.empty_like((u_out,))
+    ukeys = K.Keys(
+        ukeys.hi.at[scatter_to].set(shi.reshape(-1), mode="drop",
+                                    unique_indices=True),
+        ukeys.lo.at[scatter_to].set(slo.reshape(-1), mode="drop",
+                                    unique_indices=True))
+
+    # per-row group extents -> counts: starts[w, g] = first position of
+    # group g in row w (B when g has no group); group g's count =
+    # starts[g+1] - starts[g], the last group terminated by B
+    starts = jnp.full((W, B + 1), B, jnp.int32)
+    starts = starts.at[
+        (jax.lax.broadcasted_iota(jnp.int32, (W, B), 0),
+         jnp.where(first, uid_row, B))].set(iota_b, mode="drop",
+                                            unique_indices=True)
+    gstarts = starts[:, :B]
+    counts_row = jnp.where(gstarts < B, starts[:, 1:] - gstarts, 0)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (W, B), 1)
+    gdest = offsets[:, None] + g_iota
+    gdest = jnp.where((gstarts < B) & (gdest < cap), gdest, u_out + 2)
+    counts = jnp.zeros((u_out,), jnp.int32).at[gdest.reshape(-1)].set(
+        counts_row.reshape(-1), mode="drop", unique_indices=True)
+
+    valid_group = ~K.is_empty(ukeys)
+    counts = counts * valid_group.astype(jnp.int32)
+    n_unique = jnp.sum(valid_group.astype(jnp.int32))
+    return UniqueResult(ukeys, inverse, counts, n_unique)
+
+
 def unique(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
     """Deduplicate a 1-D batch of keys. EMPTY keys group together at the
     front of the sort order and are excluded from ``n_unique``; their
