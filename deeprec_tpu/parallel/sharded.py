@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..feature_column import EmbeddingCollection
-from ..ops.unique import UniqueResult, unique
+from ..ops.unique import UniqueResult, unique, unique_cols
 from ..sparse import embedding_var as ev
 from ..sparse import hashtable as ht
 from ..sparse import keys as K
@@ -96,7 +96,7 @@ def exchange_lookup_or_create(
     ``n_dropped``) — size it at ~2x the expected uniques/shard.
     """
     S = jax.lax.axis_size(axis)
-    uniq = unique(flat_ids, coll.config.max_unique)
+    uniq = _dedup_local(coll, flat_ids)
     U = uniq.ukeys.shape[0]
     owner = _owner_of(uniq.ukeys, S)
 
@@ -127,6 +127,17 @@ def exchange_lookup_or_create(
         recv_keys=recv_keys, recv_uniq=recv_uniq, recv_aux=recv_aux,
         n_dropped=n_dropped,
     )
+
+
+def _dedup_local(coll, ids):
+    """Requester-side dedup: the batched per-column sort when the
+    collection layout allows it (ops.unique.unique_cols), else the flat
+    sort. ``ids`` may be the [W, B_local] feature-major planes or already
+    flat."""
+    if len(ids.shape) == 2 and getattr(coll, "_column_dedup_ok", False):
+        return unique_cols(ids, coll.config.max_unique)
+    flat = ids.reshape(-1) if len(ids.shape) > 1 else ids
+    return unique(flat, coll.config.max_unique)
 
 
 def _ev_lookup_unique(state, coll, uniq: UniqueResult, step):
@@ -208,7 +219,7 @@ def exchange_lookup_readonly(
     their deterministic would-be init row. Returns (rows_flat, valid_flat)
     in local flat layout."""
     S = jax.lax.axis_size(axis)
-    uniq = unique(flat_ids, coll.config.max_unique)
+    uniq = _dedup_local(coll, flat_ids)
     U = uniq.ukeys.shape[0]
     owner = _owner_of(uniq.ukeys, S)
     pos = _bucket_positions(owner)

@@ -196,8 +196,15 @@ class ShardedTrainer:
                   if "label" in batch else None)
         return dense, cats, labels
 
-    def _bucket_cap(self, n_flat_local: int) -> int:
-        c = int(np.ceil(n_flat_local * self.bucket_slack / self.S / 8.0) * 8)
+    def _bucket_cap(self, coll, n_flat_local: int) -> int:
+        """Per-destination bucket width: sized from the DEDUP width (the
+        number of uniques a device can send), not the flat width — with a
+        max_unique cap the uniques are bounded far below the flat batch,
+        and the owner-side sort runs at S * bucket_cap."""
+        u = n_flat_local
+        if coll.config.max_unique is not None:
+            u = min(u, coll.config.max_unique + 1)
+        c = int(np.ceil(u * self.bucket_slack / self.S / 8.0) * 8)
         return max(c, 8)
 
     # -- per-device step bodies (inside shard_map) ---------------------------
@@ -219,11 +226,11 @@ class ShardedTrainer:
     def _sparse_forward(self, tables, cats, step):
         new_tables, auxs, caps = {}, {}, {}
         for name, coll in self.collections.items():
-            flat = cats[name].reshape(-1)
-            cap = self._bucket_cap(flat.shape[0])
+            ids2d = cats[name]
+            cap = self._bucket_cap(coll, ids2d.shape[0] * ids2d.shape[1])
             caps[name] = cap
             ev_state, aux = sharded.exchange_lookup_or_create(
-                coll, tables[name].ev, flat, step, self.axis, cap)
+                coll, tables[name].ev, ids2d, step, self.axis, cap)
             health = self._bump_health(tables[name].health, coll, aux)
             new_tables[name] = tables[name]._replace(ev=ev_state,
                                                      health=health)
@@ -335,10 +342,10 @@ class ShardedTrainer:
             dense = normalize_dense(self.numeric_columns, dense)
         outputs = {}
         for name, coll in self.collections.items():
-            flat = cats[name].reshape(-1)
-            cap = self._bucket_cap(flat.shape[0])
+            ids2d = cats[name]
+            cap = self._bucket_cap(coll, ids2d.shape[0] * ids2d.shape[1])
             rows, valid = sharded.exchange_lookup_readonly(
-                coll, state.tables[name].ev, flat, self.axis, cap)
+                coll, state.tables[name].ev, ids2d, self.axis, cap)
             outputs[name] = (coll.embeddings_from_rows(rows, valid),
                              coll.sequence_embeddings_from_rows(rows, valid))
         out = self.forward(functools.partial(self.model.apply, state.params),

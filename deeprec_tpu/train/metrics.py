@@ -4,8 +4,9 @@ The reference trainers report ``tf.metrics.auc`` / ``accuracy``
 (modelzoo/WDL/train.py:216-218). Here AUC is a device-resident streaming
 histogram (pos/neg counts over fixed probability bins) finalised by
 trapezoidal integration — equivalent to tf.metrics.auc's thresholded
-estimator with num_thresholds = nbins+1, and update is a pure function that
-composes with jit/donation.
+estimator with num_thresholds = nbins+1 (default 1024 bins: 5x the
+reference's num_thresholds=200, at a quarter of the one-hot matmul cost),
+and update is a pure function that composes with jit/donation.
 """
 from __future__ import annotations
 
@@ -23,7 +24,7 @@ class MetricState(NamedTuple):
     count: jax.Array     # f32 scalar
 
 
-def create(nbins: int = 4096) -> MetricState:
+def create(nbins: int = 1024) -> MetricState:
     # distinct buffers per field: shared buffers break donation (the same
     # buffer must not be donated twice in one call)
     return MetricState(
