@@ -31,6 +31,24 @@ def test_model_trains_two_steps(name):
     assert out["model"] == name
 
 
+@pytest.mark.parametrize("name", ["DLRM", "DIN", "DIEN"])
+def test_model_trains_on_mesh(name):
+    """--mesh runs every collection type through the sharded exchange:
+    DLRM (width-1 columns -> column dedup), DIN/DIEN (sequence + shared
+    embeddings -> flat-dedup fallback)."""
+    mod = importlib.import_module(f"modelzoo.{name}.train")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "2", "--batch_size", "32", "--eval_steps", "1",
+        "--capacity", "1024", "--emb_dim", "4", "--log_steps", "100",
+        "--mesh", "4",
+        "--synthetic", "--synthetic_items", "500", "--synthetic_users", "50",
+        "--prefetch_depth", "1", "--prefetch_workers", "1",
+    ])
+    out = cli.run(mod.build(args), args)
+    assert out["steps"] == 2
+    assert 0.0 < out["train_loss"] < 10.0
+
+
 def test_micro_batch_flag():
     mod = importlib.import_module("modelzoo.DLRM.train")
     args = cli.base_parser("t").parse_args([
