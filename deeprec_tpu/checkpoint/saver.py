@@ -404,23 +404,49 @@ class CheckpointManager:
                     trainer, coll, state.tables[name], shard_states, shard_slots)
 
         # host tiers: merge tier parts across base+incrementals (upsert in
-        # save order — newest wins); keys restored into the DEVICE table are
-        # skipped (the device snapshot always carries a key's final state,
-        # so a stale tier copy must not clobber it via later promotion)
+        # save order — newest wins). A tier row is imported unless the
+        # DEVICE snapshot holds the same key at an equal-or-newer version:
+        # a key trained on-device AFTER a base save and then demoted exists
+        # only in a later incremental's tier export, and its device copy in
+        # the base is STALE — presence alone must not win.
         import_tier = getattr(trainer, "import_tier", None)
         if import_tier is not None:
             for name in getattr(trainer, "tiers", {}):
-                dev_keys = np.concatenate(
-                    [p["keys"] for p in all_arrays.get(name, [])
-                     if "keys" in p] or [np.zeros((0,), np.int64)])
+                coll = trainer.collections[name]
+                vcol = (coll.config.embedding_dim
+                        + coll.config.fused_slot_columns + 1)
+                parts = [p for p in all_arrays.get(name, [])
+                         if "keys" in p and len(p["keys"])]
+                if parts:
+                    dk = np.concatenate([p["keys"] for p in parts])
+                    dv = np.concatenate([p["versions"] for p in parts])
+                    o = np.argsort(dk, kind="stable")
+                    ks, vs = dk[o], dv[o]
+                    starts = np.flatnonzero(
+                        np.r_[True, ks[1:] != ks[:-1]])
+                    kuniq = ks[starts]
+                    vmax = np.maximum.reduceat(vs, starts)
+                else:
+                    kuniq = np.zeros((0,), np.int64)
+                    vmax = np.zeros((0,), np.int32)
                 for m in [base] + incrs:
                     try:
                         tp = F.read_table(m["path"], f"__tier__{name}")
                     except FileNotFoundError:
                         continue
-                    mask = ~np.isin(tp["keys"], dev_keys)
+                    tk = tp["keys"]
+                    if len(kuniq):
+                        tver = tp["rows"][:, vcol].copy().view(np.int32)
+                        idx = np.searchsorted(kuniq, tk)
+                        safe = np.minimum(idx, len(kuniq) - 1)
+                        on_dev = (idx < len(kuniq)) & (kuniq[safe] == tk)
+                        dev_ver = np.where(on_dev, vmax[safe],
+                                           np.int32(-2**31))
+                        mask = ~on_dev | (tver > dev_ver)
+                    else:
+                        mask = np.ones((len(tk),), bool)
                     if mask.any():
-                        import_tier(name, tp["keys"][mask], tp["rows"][mask])
+                        import_tier(name, tk[mask], tp["rows"][mask])
 
         # dense: last loaded wins (params/opt_state/step saved every time)
         _, dense_leaves = loads[-1]

@@ -25,6 +25,11 @@ class UniqueResult(NamedTuple):
     inverse: jax.Array  # [n] int32: position of each input key in ukeys
     counts: jax.Array   # [U] int32: multiplicity of each unique key (0 in padding)
     n_unique: jax.Array  # int32 scalar (EMPTY/invalid inputs excluded)
+    # int32 scalar: DISTINCT valid keys beyond the max_unique cap this
+    # batch (they read the null row and take no update) — the saturation
+    # signal the health watchdog alarms on. n_unique alone cannot detect
+    # saturation when the capped slots also hold EMPTY padding groups.
+    n_overflow: jax.Array = jnp.zeros((), jnp.int32)
 
 
 def unique_int32(idx: jax.Array):
@@ -120,10 +125,13 @@ def unique_cols(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
     # group g in row w (B when g has no group); group g's count =
     # starts[g+1] - starts[g], the last group terminated by B
     starts = jnp.full((W, B + 1), B, jnp.int32)
+    # non-first lanes route fully OUT of bounds (B+1) so mode="drop"
+    # removes them — an in-bounds duplicate index under unique_indices=True
+    # is undefined behaviour even if the cell is never read
     starts = starts.at[
         (jax.lax.broadcasted_iota(jnp.int32, (W, B), 0),
-         jnp.where(first, uid_row, B))].set(iota_b, mode="drop",
-                                            unique_indices=True)
+         jnp.where(first, uid_row, B + 1))].set(iota_b, mode="drop",
+                                                unique_indices=True)
     gstarts = starts[:, :B]
     counts_row = jnp.where(gstarts < B, starts[:, 1:] - gstarts, 0)
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (W, B), 1)
@@ -135,7 +143,9 @@ def unique_cols(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
     valid_group = ~K.is_empty(ukeys)
     counts = counts * valid_group.astype(jnp.int32)
     n_unique = jnp.sum(valid_group.astype(jnp.int32))
-    return UniqueResult(ukeys, inverse, counts, n_unique)
+    n_overflow = jnp.sum((first & over & ~K.is_empty(skeys))
+                         .astype(jnp.int32))
+    return UniqueResult(ukeys, inverse, counts, n_unique, n_overflow)
 
 
 def unique(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
@@ -168,6 +178,7 @@ def unique(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
         inv_sorted = uid_sorted
         keep_first = first
         starts_to = jnp.where(first, uid_sorted, u_out + 2)
+        over = jnp.zeros((n,), jnp.bool_)
     else:
         u_out = max_unique + 1  # index max_unique = the overflow/null group
         over = uid_sorted >= max_unique
@@ -192,4 +203,6 @@ def unique(ids: K.Keys, max_unique: int | None = None) -> UniqueResult:
     valid_group = ~K.is_empty(ukeys)
     counts = counts * valid_group.astype(jnp.int32)
     n_unique = jnp.sum(valid_group.astype(jnp.int32))
-    return UniqueResult(ukeys, inverse, counts, n_unique)
+    n_overflow = jnp.sum((first & over & ~K.is_empty(skeys))
+                         .astype(jnp.int32))
+    return UniqueResult(ukeys, inverse, counts, n_unique, n_overflow)

@@ -229,6 +229,9 @@ class DistributedHashTable:
                         keys_hi, keys_lo, cotangent, step):
         """Full training update: lookup + owner-side sparse apply of the
         cotangent (grads for repeated keys summed by the transpose)."""
+        # id(opt) is only stable while the object lives; the cache entry
+        # therefore holds a strong reference to opt so the address can
+        # never be reused by a different optimizer (see _jit_cache values)
         key = ("apply", keys_hi.shape, cotangent.shape, id(opt))
         if key not in self._jit_cache:
             spec = self._specs()
@@ -253,14 +256,14 @@ class DistributedHashTable:
                 lambda l: (P(self.axis) if hasattr(l, "ndim") and l.ndim >= 1
                            and l.shape[0] == self.S * (self.cap + 1) else P()),
                 slot_state)
-            self._jit_cache[key] = jax.jit(jax.shard_map(
+            self._jit_cache[key] = (jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(spec, slot_spec, P(self.axis), P(self.axis),
                           P(self.axis), P()),
                 out_specs=(spec, slot_spec, P(self.axis), P(self.axis)),
-                check_vma=False))
-        return self._jit_cache[key](state, slot_state, keys_hi, keys_lo,
-                                    cotangent, step)
+                check_vma=False)), opt)
+        fn, _ref = self._jit_cache[key]
+        return fn(state, slot_state, keys_hi, keys_lo, cotangent, step)
 
     def init_slot(self, opt, state: DHTState):
         """Slot Tensibles over the same (sharded) id space (reference

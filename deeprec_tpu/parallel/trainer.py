@@ -213,12 +213,13 @@ class ShardedTrainer:
         drops + dedup saturation on either side of the exchange."""
         if health is None:
             return None
-        mu = coll.config.max_unique
-        nu_l = aux.local_uniq.n_unique.astype(jnp.int32)
-        nu_r = aux.recv_uniq.n_unique.astype(jnp.int32)
-        nu = jnp.maximum(nu_l, nu_r)
-        sat = (((nu_l >= mu) | (nu_r >= mu)).astype(jnp.int32)
-               if mu else jnp.int32(0))
+        # saturation from each dedup's own overflow count (see
+        # train.trainer._bump_health for why n_unique >= cap is wrong)
+        ov_l = aux.local_uniq.n_overflow
+        ov_r = aux.recv_uniq.n_overflow
+        nu = jnp.maximum(aux.local_uniq.n_unique.astype(jnp.int32) + ov_l,
+                         aux.recv_uniq.n_unique.astype(jnp.int32) + ov_r)
+        sat = ((ov_l > 0) | (ov_r > 0)).astype(jnp.int32)
         return jnp.stack([health[:, 0] + aux.n_dropped,
                           health[:, 1] + sat,
                           jnp.maximum(health[:, 2], nu)], axis=-1)

@@ -61,16 +61,42 @@ class Predictor:
             self._apply_save(m)
 
     # -- loading -----------------------------------------------------------
+    @staticmethod
+    def _tier_arrays(coll, manifest, name):
+        """Demoted rows from a tiered checkpoint, unpacked into the device
+        table's array format (values + bit-pattern int meta; optimizer
+        slots dropped — serving never reads them). A tiered trainer's
+        snapshot spans storage tiers; serving must too, or cold keys
+        silently read their default row."""
+        try:
+            tp = F.read_table(manifest["path"], f"__tier__{name}")
+        except FileNotFoundError:
+            return None
+        dim = coll.config.embedding_dim + coll.config.fused_slot_columns
+        rows = tp["rows"]
+        return {
+            "keys": tp["keys"],
+            "values": rows[:, :dim],
+            "freqs": rows[:, dim].copy().view(np.int32),
+            "versions": rows[:, dim + 1].copy().view(np.int32),
+            "create_steps": rows[:, dim + 2].copy().view(np.int32),
+        }
+
     def _load_base(self, manifest):
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
-            cap = needed_capacity(arrays["keys"].shape[0] + 8,
-                                  coll.config.capacity)
+            tier = self._tier_arrays(coll, manifest, name)
+            n_rows = arrays["keys"].shape[0] + \
+                (tier["keys"].shape[0] if tier else 0)
+            cap = needed_capacity(n_rows + 8, coll.config.capacity)
             if cap != coll.config.capacity:
                 coll.config = dataclasses.replace(coll.config, capacity=cap)
             st = ev.create(coll.config)
             slot = self._noopt.init(st.values)
             st, _ = _scatter_table(st, slot, self._noopt, coll.config, arrays)
+            if tier is not None:
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
+                                       tier)
             self.tables[name] = st
         self._load_dense(manifest)
         self._applied_steps.add(manifest["step"])
@@ -112,8 +138,10 @@ class Predictor:
             return
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
+            tier = self._tier_arrays(coll, manifest, name)
             st = self.tables[name]
-            n_new = arrays["keys"].shape[0]
+            n_new = arrays["keys"].shape[0] + \
+                (tier["keys"].shape[0] if tier else 0)
             size = int(np.asarray(st.index.size).sum())
             cap = needed_capacity(size + n_new, coll.config.capacity)
             if cap != coll.config.capacity:
@@ -122,6 +150,9 @@ class Predictor:
                 self._jit_predict = None
             slot = self._noopt.init(st.values)
             st, _ = _scatter_table(st, slot, self._noopt, coll.config, arrays)
+            if tier is not None:
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
+                                       tier)
             self.tables[name] = st
         self._load_dense(manifest)
         self.params = None  # re-materialise against the new leaves
@@ -198,10 +229,12 @@ class ShardedPredictor(Predictor):
     """
 
     def __init__(self, model, numeric_columns, collections, ckpt_dir,
-                 mesh, forward=None, axis: str = "dp"):
+                 mesh, forward=None, axis: str = "dp",
+                 bucket_slack: float = 2.0):
         self.mesh = mesh
         self.axis = axis
         self.S = int(np.prod(mesh.devices.shape))
+        self.bucket_slack = bucket_slack
         super().__init__(model, numeric_columns, collections, ckpt_dir,
                          forward=forward)
 
@@ -257,17 +290,24 @@ class ShardedPredictor(Predictor):
         from ..checkpoint.saver import route_to_shards
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
-            per_shard = int(np.ceil(arrays["keys"].shape[0] / self.S)) + 8
+            tier = self._tier_arrays(coll, manifest, name)
+            n_rows = arrays["keys"].shape[0] + \
+                (tier["keys"].shape[0] if tier else 0)
+            per_shard = int(np.ceil(n_rows / self.S)) + 8
             cap = needed_capacity(per_shard, coll.config.capacity)
             if cap != coll.config.capacity:
                 coll.config = dataclasses.replace(coll.config, capacity=cap)
             routed = route_to_shards(arrays, self.S)
+            tier_routed = route_to_shards(tier, self.S) if tier else None
             shards = []
             for s in range(self.S):
                 st = ev.create(coll.config)
                 slot = self._noopt.init(st.values)
                 st, _ = _scatter_table(st, slot, self._noopt, coll.config,
                                        routed[s])
+                if tier_routed is not None:
+                    st, _ = _scatter_table(st, slot, self._noopt,
+                                           coll.config, tier_routed[s])
                 shards.append(st)
             self.tables[name] = self._stack(shards)
         self._load_dense(manifest)
@@ -293,11 +333,16 @@ class ShardedPredictor(Predictor):
                 coll.config = dataclasses.replace(coll.config, capacity=cap)
                 self._jit_predict = None
             routed = route_to_shards(arrays, self.S)
+            tier = self._tier_arrays(coll, manifest, name)
+            tier_routed = route_to_shards(tier, self.S) if tier else None
             out = []
             for s, st in enumerate(shards):
                 slot = self._noopt.init(st.values)
                 st, _ = _scatter_table(st, slot, self._noopt, coll.config,
                                        routed[s])
+                if tier_routed is not None:
+                    st, _ = _scatter_table(st, slot, self._noopt,
+                                           coll.config, tier_routed[s])
                 out.append(st)
             self.tables[name] = self._stack(out)
         self._load_dense(manifest)
@@ -345,16 +390,22 @@ class ShardedPredictor(Predictor):
 
     def _predict_device(self, params, tables, dense, cats):
         from ..parallel import sharded
+        from ..sparse import keys as K
         if dense is not None:
             dense = normalize_dense(self.numeric_columns, dense)
         outputs = {}
+        n_dropped = jnp.zeros((), jnp.int32)
         for name, coll in self.collections.items():
             flat = cats[name].reshape(-1)
             U = flat.shape[0]
-            cap = max(2 * U // max(self.S, 1), 8)
+            cap = max(int(self.bucket_slack * U) // max(self.S, 1), 8)
             cap = 1 << (cap - 1).bit_length()
             rows, valid = sharded.exchange_lookup_readonly(
                 coll, tables[name], flat, self.axis, cap)
+            # invalid & non-padding == dropped by owner-bucket overflow
+            # (unknown-but-routed keys are VALID: they read default rows)
+            n_dropped = n_dropped + jnp.sum(
+                (~valid & ~K.is_empty(flat)).astype(jnp.int32))
             outputs[name] = (coll.embeddings_from_rows(rows, valid),
                              coll.sequence_embeddings_from_rows(rows, valid))
         fwd = self.forward or _default_forward
@@ -362,7 +413,7 @@ class ShardedPredictor(Predictor):
         out = fwd(functools.partial(self.model.apply, params),
                   dense, outputs, False)
         logits = out[0] if isinstance(out, tuple) else out
-        return jax.nn.sigmoid(logits)
+        return jax.nn.sigmoid(logits), jax.lax.psum(n_dropped, self.axis)
 
     def predict(self, batch) -> np.ndarray:
         from jax.sharding import PartitionSpec as P
@@ -395,11 +446,22 @@ class ShardedPredictor(Predictor):
                           P(self.axis, None) if dense is not None else P(),
                           {n: K.Keys(P(None, self.axis), P(None, self.axis))
                            for n in self.collections}),
-                out_specs=P(self.axis), check_vma=False))
+                out_specs=(P(self.axis), P()), check_vma=False))
         g = lambda spec, x: globalize(self.mesh, spec, x)
         dense_g = (g(P(self.axis, None), dense) if dense is not None else None)
         cats_g = {n: K.Keys(g(P(None, self.axis), h), g(P(None, self.axis), l))
                   for n, (h, l) in cats.items()}
-        out = np.asarray(self._jit_predict(self.params, self.tables,
-                                           dense_g, cats_g))
-        return out[:B]
+        out, n_dropped = self._jit_predict(self.params, self.tables,
+                                           dense_g, cats_g)
+        if int(np.asarray(n_dropped)) > 0:
+            # a skewed request overflowed one owner's bucket: widen and
+            # redo — training has the same self-heal via raise_bucket_slack
+            import warnings
+            self.bucket_slack *= 2.0
+            warnings.warn(
+                f"ShardedPredictor: {int(np.asarray(n_dropped))} ids "
+                f"overflowed owner buckets; bucket_slack raised to "
+                f"{self.bucket_slack} and the request re-served")
+            self._jit_predict = None
+            return self.predict(batch)
+        return np.asarray(out)[:B]

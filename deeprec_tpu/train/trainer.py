@@ -77,16 +77,19 @@ def _np_global(arr) -> np.ndarray:
 
 
 def _bump_health(health, coll, aux):
-    """Accumulate TableBundle.health from one local lookup's aux."""
+    """Accumulate TableBundle.health from one local lookup's aux.
+    Saturation is detected from the dedup's own overflow count (distinct
+    valid keys routed to the null group) — NOT from n_unique reaching the
+    cap, which never happens when EMPTY padding groups occupy capped
+    slots (sequence models / ragged batches)."""
     if health is None:
         return None
     ev_aux = getattr(aux, "ev_aux", aux)
     uniq = getattr(ev_aux, "uniq", None)
     if uniq is None:
         return health
-    nu = uniq.n_unique.astype(jnp.int32)
-    mu = coll.config.max_unique
-    sat = (nu >= mu).astype(jnp.int32) if mu else jnp.int32(0)
+    nu = uniq.n_unique.astype(jnp.int32) + uniq.n_overflow  # true demand
+    sat = (uniq.n_overflow > 0).astype(jnp.int32)
     return jnp.stack([health[..., 0],
                       health[..., 1] + sat,
                       jnp.maximum(health[..., 2], nu)], axis=-1)
