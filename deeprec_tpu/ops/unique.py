@@ -29,7 +29,10 @@ class UniqueResult(NamedTuple):
     # batch (they read the null row and take no update) — the saturation
     # signal the health watchdog alarms on. n_unique alone cannot detect
     # saturation when the capped slots also hold EMPTY padding groups.
-    n_overflow: jax.Array = jnp.zeros((), jnp.int32)
+    # (python-int default, NOT jnp.zeros: a module-level jnp call would
+    # initialise the XLA backend at import, breaking
+    # jax.distributed.initialize on multi-process workers)
+    n_overflow: jax.Array = 0
 
 
 def unique_int32(idx: jax.Array):
