@@ -195,3 +195,42 @@ class TestHashTableColumn:
         # training continues post-growth
         grown = tr.train_step(grown, self._batch(rng, vocab=50))
         assert np.isfinite(float(grown.metrics.loss_sum))
+
+
+def test_hashtable_collection_checkpoint_roundtrip(tmp_path):
+    """HTState saves via the variant-table (whole-pytree) checkpoint path:
+    rows, dense ids, and the allocator index survive a restore exactly."""
+    from deeprec_tpu.checkpoint import CheckpointManager
+
+    def make():
+        cols = [fc.EmbeddingColumn(fc.CategoricalColumn("C1"), 8)]
+        coll = HashTableCollection(
+            cols, name="emb", capacity=256,
+            initializer=dr.Initializer("normal", scale=0.1))
+        model = ctr.DCN(emb_names=["C1"], cross_layers=1, deep_units=(16,))
+        return Trainer(model, [fc.NumericColumn("I1")], {"emb": coll},
+                       {"emb": sopt.sparse_adagrad(0.3)}, optax.adagrad(0.05))
+
+    rng = np.random.default_rng(0)
+
+    def batch(bs=32):
+        return {"I1": rng.normal(size=bs).astype(np.float32),
+                "label": rng.integers(0, 2, bs).astype(np.float32),
+                "C1": rng.integers(0, 50, bs).astype(np.int64)}
+
+    tr = make()
+    st = tr.init(jax.random.key(0), batch())
+    for _ in range(5):
+        st = tr.train_step(st, batch())
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(tr, st, evict=False)
+    tr2 = make()
+    st2 = tr2.init(jax.random.key(1), batch())
+    st2, ok = mgr.restore(tr2, st2)
+    assert ok
+    np.testing.assert_allclose(np.asarray(st2.tables["emb"].ev.table.rows),
+                               np.asarray(st.tables["emb"].ev.table.rows))
+    assert int(np.asarray(st2.tables["emb"].ev.alloc.next_id)) == \
+        int(np.asarray(st.tables["emb"].ev.alloc.next_id))
+    st2 = tr2.train_step(st2, batch())
+    assert np.isfinite(float(st2.metrics.loss_sum))
