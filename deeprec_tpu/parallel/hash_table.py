@@ -72,7 +72,24 @@ class DistributedHashTable:
         self._init_cfg = EmbeddingVariableConfig(
             name="dht", embedding_dim=dim, capacity=capacity_per_shard,
             initializer=self.initializer)
-        self._jit_cache: Dict = {}
+        # LRU-bounded: a long-lived process cycling batch shapes or
+        # optimizer objects must not accumulate compiled programs forever
+        from collections import OrderedDict
+        self._jit_cache: "OrderedDict" = OrderedDict()
+        self._jit_cache_max = 16
+
+    def _cache_get(self, key):
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            self._jit_cache.move_to_end(key)
+        return fn
+
+    def _cache_put(self, key, value):
+        self._jit_cache[key] = value
+        self._jit_cache.move_to_end(key)
+        while len(self._jit_cache) > self._jit_cache_max:
+            self._jit_cache.popitem(last=False)
+        return value
 
     # -- construction --------------------------------------------------------
     def init(self) -> DHTState:
@@ -162,14 +179,15 @@ class DistributedHashTable:
     def gen_ids(self, state: DHTState, keys_hi, keys_lo):
         """Global dense ids for a per-device-sharded key batch [S, n]."""
         key = ("gen_ids", keys_hi.shape)
-        if key not in self._jit_cache:
+        fn = self._cache_get(key)
+        if fn is None:
             spec = self._specs()
-            self._jit_cache[key] = jax.jit(jax.shard_map(
+            fn = self._cache_put(key, jax.jit(jax.shard_map(
                 lambda st, h, l: self._gen_ids_device(st, h, l),
                 mesh=self.mesh,
                 in_specs=(spec, P(self.axis), P(self.axis)),
-                out_specs=(spec, P(self.axis)), check_vma=False))
-        return self._jit_cache[key](state, keys_hi, keys_lo)
+                out_specs=(spec, P(self.axis)), check_vma=False)))
+        return fn(state, keys_hi, keys_lo)
 
     def _lookup_device(self, state: DHTState, khi, klo):
         """shard_map body: gen ids + gather rows; rows differentiable."""
@@ -208,7 +226,8 @@ class DistributedHashTable:
         simultaneously apply a caller-supplied cotangent (simulating the
         backward pass) via VJP — proves the gradient exchange."""
         key = ("lookup_grads", keys_hi.shape, cotangent.shape)
-        if key not in self._jit_cache:
+        fn = self._cache_get(key)
+        if fn is None:
             spec = self._specs()
 
             def body(st, h, l, ct):
@@ -218,12 +237,12 @@ class DistributedHashTable:
                 (d_rows,) = vjp(ct.reshape(-1, self.dim))
                 return st2, rows, valid, d_rows
 
-            self._jit_cache[key] = jax.jit(jax.shard_map(
+            fn = self._cache_put(key, jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(spec, P(self.axis), P(self.axis), P(self.axis)),
                 out_specs=(spec, P(self.axis), P(self.axis), P(self.axis)),
-                check_vma=False))
-        return self._jit_cache[key](state, keys_hi, keys_lo, cotangent)
+                check_vma=False)))
+        return fn(state, keys_hi, keys_lo, cotangent)
 
     def apply_cotangent(self, state: DHTState, opt, slot_state,
                         keys_hi, keys_lo, cotangent, step):
@@ -233,7 +252,8 @@ class DistributedHashTable:
         # therefore holds a strong reference to opt so the address can
         # never be reused by a different optimizer (see _jit_cache values)
         key = ("apply", keys_hi.shape, cotangent.shape, id(opt))
-        if key not in self._jit_cache:
+        entry = self._cache_get(key)
+        if entry is None:
             spec = self._specs()
 
             def body(st, slot, h, l, ct, stp):
@@ -256,13 +276,13 @@ class DistributedHashTable:
                 lambda l: (P(self.axis) if hasattr(l, "ndim") and l.ndim >= 1
                            and l.shape[0] == self.S * (self.cap + 1) else P()),
                 slot_state)
-            self._jit_cache[key] = (jax.jit(jax.shard_map(
+            entry = self._cache_put(key, (jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(spec, slot_spec, P(self.axis), P(self.axis),
                           P(self.axis), P()),
                 out_specs=(spec, slot_spec, P(self.axis), P(self.axis)),
-                check_vma=False)), opt)
-        fn, _ref = self._jit_cache[key]
+                check_vma=False)), opt))
+        fn, _ref = entry
         return fn(state, slot_state, keys_hi, keys_lo, cotangent, step)
 
     def init_slot(self, opt, state: DHTState):

@@ -107,13 +107,17 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
             width = self._payload_spec(name, new_tables[name]).width
             bk = np.full((S_local, n_pad), -1, np.int64)
             br = np.zeros((S_local, n_pad, width), np.float32)
-            fill = np.zeros(S_local, np.int64)
-            pos = np.zeros(len(hit_ids), np.int64)
-            for i, s in enumerate(own - lo):
-                pos[i] = fill[s]
-                bk[s, fill[s]] = hit_ids[i]
-                br[s, fill[s]] = hit_rows[i]
-                fill[s] += 1
+            # vectorized bucket packing: rank within each owner group via a
+            # stable sort + searchsorted (a restore can land 100k+ tier rows
+            # in one hot batch; a per-row python loop would crawl)
+            shard = own - lo
+            order = np.argsort(shard, kind="stable")
+            shard_sorted = shard[order]
+            first = np.searchsorted(shard_sorted, shard_sorted, side="left")
+            pos = np.empty(len(shard), np.int64)
+            pos[order] = np.arange(len(shard)) - first
+            bk[shard, pos] = hit_ids
+            br[shard, pos] = hit_rows
             bundle, live = self._insert_promoted(name, new_tables[name], bk, br)
             new_tables[name] = bundle
             # local rows of the [S, n_pad] live mask

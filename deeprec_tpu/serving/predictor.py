@@ -93,10 +93,15 @@ class Predictor:
                 coll.config = dataclasses.replace(coll.config, capacity=cap)
             st = ev.create(coll.config)
             slot = self._noopt.init(st.values)
-            st, _ = _scatter_table(st, slot, self._noopt, coll.config, arrays)
+            # tier rows FIRST, device rows second: when a key exists in
+            # both (promotion refused, key later re-created and trained on
+            # device), the device copy is the newer one — tier rows are only
+            # written at demotion, which removes the key from the device
+            # table, so any device copy postdates the tier export.
             if tier is not None:
                 st, _ = _scatter_table(st, slot, self._noopt, coll.config,
                                        tier)
+            st, _ = _scatter_table(st, slot, self._noopt, coll.config, arrays)
             self.tables[name] = st
         self._load_dense(manifest)
         self._applied_steps.add(manifest["step"])
@@ -149,10 +154,11 @@ class Predictor:
                 coll.config = dataclasses.replace(coll.config, capacity=cap)
                 self._jit_predict = None
             slot = self._noopt.init(st.values)
-            st, _ = _scatter_table(st, slot, self._noopt, coll.config, arrays)
+            # tier first, device second (see _load_base ordering rationale)
             if tier is not None:
                 st, _ = _scatter_table(st, slot, self._noopt, coll.config,
                                        tier)
+            st, _ = _scatter_table(st, slot, self._noopt, coll.config, arrays)
             self.tables[name] = st
         self._load_dense(manifest)
         self.params = None  # re-materialise against the new leaves
@@ -303,11 +309,12 @@ class ShardedPredictor(Predictor):
             for s in range(self.S):
                 st = ev.create(coll.config)
                 slot = self._noopt.init(st.values)
-                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
-                                       routed[s])
+                # tier first, device second (see _load_base ordering)
                 if tier_routed is not None:
                     st, _ = _scatter_table(st, slot, self._noopt,
                                            coll.config, tier_routed[s])
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
+                                       routed[s])
                 shards.append(st)
             self.tables[name] = self._stack(shards)
         self._load_dense(manifest)
@@ -320,8 +327,13 @@ class ShardedPredictor(Predictor):
             return
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
+            tier = self._tier_arrays(coll, manifest, name)
             shards = self._unstack(coll, self.tables[name])
-            n_new = arrays["keys"].shape[0]
+            # size the capacity check from device + tier rows (the base
+            # loader does); a large tier export must not silently exceed a
+            # shard's capacity and drop rows to their default
+            n_new = arrays["keys"].shape[0] + \
+                (tier["keys"].shape[0] if tier else 0)
             sizes = [int(np.asarray(s.index.size).sum()) for s in shards]
             cap = needed_capacity(max(sizes) + n_new, coll.config.capacity)
             if cap != coll.config.capacity:
@@ -333,16 +345,16 @@ class ShardedPredictor(Predictor):
                 coll.config = dataclasses.replace(coll.config, capacity=cap)
                 self._jit_predict = None
             routed = route_to_shards(arrays, self.S)
-            tier = self._tier_arrays(coll, manifest, name)
             tier_routed = route_to_shards(tier, self.S) if tier else None
             out = []
             for s, st in enumerate(shards):
                 slot = self._noopt.init(st.values)
-                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
-                                       routed[s])
+                # tier first, device second (see _load_base ordering)
                 if tier_routed is not None:
                     st, _ = _scatter_table(st, slot, self._noopt,
                                            coll.config, tier_routed[s])
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config,
+                                       routed[s])
                 out.append(st)
             self.tables[name] = self._stack(out)
         self._load_dense(manifest)
