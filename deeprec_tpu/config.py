@@ -41,11 +41,13 @@ class L2WeightEvict:
 
 @dataclasses.dataclass(frozen=True)
 class CounterFilter:
-    """Admit a feature only after it has been seen in ``filter_freq``
-    lookup batches (reference embedding_filter.h:289 CounterFilter; the
-    reference dedups ids per batch before the PS-side gather —
-    embedding_ops.py:480 — so its filter likewise counts once per batch).
-    The semantic is identical on the local and sharded trainers."""
+    """Admit a feature once its accumulated occurrence count reaches
+    ``filter_freq`` (reference embedding_filter.h:289 CounterFilter).
+    Counts accumulate by within-batch MULTIPLICITY: with a filter set the
+    reference's lookup uses unique_with_counts and AddFreq(count)
+    (embedding_ops.py:592-596, embedding_filter.h:307-317), so an id seen
+    N times in one batch advances N. The semantic is identical on the
+    local and sharded trainers (the exchange routes the counts)."""
 
     filter_freq: int = 0
 
@@ -140,6 +142,18 @@ class EmbeddingVariableConfig:
     # lookup-then-export *without* an update would export zeros — set
     # lazy_init=False for that usage.
     lazy_init: bool = True
+    # Per-row metadata tracking — the reference's layout selection
+    # (kv_variable_ops.py:282-285: "light" ValuePtr with NO freq/version
+    # cells when steps_to_live==0, filter_freq==0 and no L2 threshold,
+    # else "normal"). None = auto: freq tracks iff an admission filter is
+    # configured; version/create_step track iff an eviction policy is.
+    # Set track_version=True explicitly to use version-delta INCREMENTAL
+    # checkpoints on a table with no eviction policy (the reference's
+    # recorder-op equivalent); tables without version tracking fall back
+    # to full-row incremental sections. The metadata scatters cost ~15%
+    # of a plain CTR train step — the light layout skips them.
+    track_freq: Optional[bool] = None
+    track_version: Optional[bool] = None
     # Multi-hash (Q-R trick) / dynamic-dim variants are separate table types
     # built on top of this config (sparse/multihash.py, sparse/dynamicdim.py).
 
@@ -156,3 +170,16 @@ class EmbeddingVariableConfig:
         if self.cbf_filter:
             return self.cbf_filter.filter_freq
         return 0
+
+    @property
+    def freq_tracked(self) -> bool:
+        if self.track_freq is not None:
+            return self.track_freq
+        return (self.counter_filter is not None
+                or self.cbf_filter is not None)
+
+    @property
+    def version_tracked(self) -> bool:
+        if self.track_version is not None:
+            return self.track_version
+        return self.evict is not None

@@ -53,7 +53,10 @@ class DynamicDimConfig:
 
 
 def ev_config(name: str, dd: DynamicDimConfig, **kwargs) -> EmbeddingVariableConfig:
-    """Base EV config with the full (all-blocks) row width."""
+    """Base EV config with the full (all-blocks) row width. Frequency
+    tracking is forced on: block widths gate on the freq metadata, which
+    the light layout would otherwise skip writing."""
+    kwargs.setdefault("track_freq", True)
     return EmbeddingVariableConfig(name=name, embedding_dim=dd.full_dim, **kwargs)
 
 

@@ -163,21 +163,30 @@ def lookup_or_create_unique(
     config: EmbeddingVariableConfig,
     uniq,
     global_step: jax.Array,
+    freq_counts: Optional[jax.Array] = None,
 ) -> Tuple[EVState, LookupAux]:
     """Core of :func:`lookup_or_create` over an already-deduplicated
     UniqueResult (callers that dedup themselves — e.g. the sharded exchange
-    owner side — skip the second sort)."""
+    owner side — skip the second sort).
+
+    ``freq_counts``: optional [n] override of the per-unique-key frequency
+    increment. The sharded exchange owner passes the summed per-requester
+    multiplicities here (its own dedup's counts would count requesting
+    *devices*, not id occurrences).
+    """
     cap = state.capacity
     ukeys, counts = uniq.ukeys, uniq.counts
     gs = jnp.asarray(global_step, jnp.int32)
 
-    # Frequency counts ONCE per lookup batch per key — the reference's
-    # effective PS-side semantics (embedding_lookup_sparse dedups ids before
-    # KvResourceGather, embedding_ops.py:480, so the filter sees each key at
-    # most once per batch). Within-batch multiplicity does NOT count, and the
-    # sharded owner (which receives each key once per requesting device)
-    # counts the same 1 — the local and sharded trainers admit identically.
-    freq_inc = (counts > 0).astype(jnp.int32)
+    # Frequency counts within-batch MULTIPLICITY — reference parity: with a
+    # filter configured, embedding_lookup_sparse uses unique_with_counts
+    # (embedding_ops.py:592-596) and KvResourceGather passes each key's
+    # count into CounterFilter::LookupOrCreate -> AddFreq(count)
+    # (kv_variable_ops.cc:435-441, embedding_filter.h:307-317): an id seen
+    # N times in one batch advances its admission counter by N. The sharded
+    # owner receives the per-requester counts over the exchange
+    # (``freq_counts``), so local and mesh trainers admit identically.
+    freq_inc = (counts if freq_counts is None else freq_counts).astype(jnp.int32)
 
     cbf_counters = state.cbf
     if config.cbf_filter is not None:
@@ -211,21 +220,32 @@ def lookup_or_create_unique(
             rows0 = jnp.concatenate([rows0, pad], axis=-1)
         values = values.at[dest].set(rows0.astype(values.dtype),
                                      mode="drop", unique_indices=True)
-    create_steps = state.create_steps.at[dest].set(gs, mode="drop",
-                                                   unique_indices=True)
 
-    # freq/version bookkeeping for every live unique key (freq += 1 per
-    # batch the key appears in; see freq_inc above)
+    # Metadata scatters are gated per the reference's layout selection
+    # ("light" ValuePtr without freq/version cells when no filter and no
+    # eviction, kv_variable_ops.py:282-285): each 1-column scatter costs
+    # real step time (~0.6ms each at U=17k on v5e) and a table that never
+    # reads the metadata should not pay for writing it.
     live = (counts > 0) & (slots != cap)
     mdest = jnp.where(live, slots, cap + 1)
-    freqs = state.freqs.at[mdest].add(freq_inc, mode="drop", unique_indices=True)
-    versions = state.versions.at[mdest].set(gs, mode="drop", unique_indices=True)
-
-    # Keep the null row pristine (values never scatter to it: destinations
-    # are either live slots or out-of-bounds).
-    freqs = freqs.at[cap].set(0)
-    versions = versions.at[cap].set(-1)
-    create_steps = create_steps.at[cap].set(-1)
+    if config.version_tracked:
+        create_steps = state.create_steps.at[dest].set(
+            gs, mode="drop", unique_indices=True)
+        versions = state.versions.at[mdest].set(gs, mode="drop",
+                                                unique_indices=True)
+        versions = versions.at[cap].set(-1)
+        create_steps = create_steps.at[cap].set(-1)
+    else:
+        create_steps = state.create_steps
+        versions = state.versions
+    if config.freq_tracked:
+        freqs = state.freqs.at[mdest].add(freq_inc, mode="drop",
+                                          unique_indices=True)
+        # keep the null row pristine (values never scatter to it:
+        # destinations are either live slots or out-of-bounds)
+        freqs = freqs.at[cap].set(0)
+    else:
+        freqs = state.freqs
 
     if config.cbf_filter is not None:
         admitted = (slots != cap)

@@ -96,6 +96,10 @@ def ev_kwargs(args) -> dict:
         kw["counter_filter"] = dr.CounterFilter(args.ev_filter_freq)
     if args.ev_evict_steps:
         kw["evict"] = dr.GlobalStepEvict(args.ev_evict_steps)
+    if getattr(args, "incr_save_secs", None):
+        # version-delta incrementals need version stamps even on tables
+        # with no eviction policy (else the light layout skips them)
+        kw["track_version"] = True
     return kw
 
 

@@ -28,6 +28,9 @@ def make_trainer(capacity=1 << 10, sharded=False, n_devices=4, **ev_kwargs):
                for n in DENSE_NAMES[:N_DENSE]]
     emb_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8)
                 for n in CAT_NAMES[:N_CAT]]
+    # version-delta incrementals on tables without an evict policy need the
+    # explicit version-stamp opt-in (light-layout default skips the writes)
+    ev_kwargs.setdefault("track_version", True)
     coll = fc.EmbeddingCollection(
         emb_cols, name="emb", capacity=capacity,
         initializer=dr.Initializer(kind="normal", scale=0.05), **ev_kwargs)

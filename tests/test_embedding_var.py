@@ -46,7 +46,9 @@ class TestLookup:
         np.testing.assert_allclose(e, 2.5)
 
     def test_freq_and_version_metadata(self):
-        cfg = _cfg()
+        # explicit opt-in: a filter-less, evict-less table defaults to the
+        # light layout (no metadata writes, kv_variable_ops.py:282-285)
+        cfg = _cfg(track_freq=True, track_version=True)
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids([5, 5, 5, 9]), 3)
         uk = K.to_numpy(aux.uniq.ukeys)
@@ -55,14 +57,28 @@ class TestLookup:
         versions = np.asarray(st.versions)
         i5 = int(np.where(uk == 5)[0][0])
         i9 = int(np.where(uk == 9)[0][0])
-        # freq counts batches containing the key, not occurrences
-        assert freqs[slots[i5]] == 1
+        # freq counts occurrences (within-batch multiplicity — reference
+        # AddFreq(count), embedding_filter.h:307-317)
+        assert freqs[slots[i5]] == 3
         assert freqs[slots[i9]] == 1
         assert versions[slots[i5]] == 3
         # second batch accumulates
         st, aux = ev.lookup_or_create(st, cfg, _ids([5]), 7)
-        assert np.asarray(st.freqs)[slots[i5]] == 2
+        assert np.asarray(st.freqs)[slots[i5]] == 4
         assert np.asarray(st.versions)[slots[i5]] == 7
+
+    def test_light_layout_skips_metadata(self):
+        # no filter + no evict -> the reference's "light" ValuePtr layout
+        # (kv_variable_ops.py:282-285): no freq/version/create_step writes,
+        # but insertion and lookup semantics are unchanged
+        cfg = _cfg()
+        assert not cfg.freq_tracked and not cfg.version_tracked
+        st = ev.create(cfg)
+        st, aux = ev.lookup_or_create(st, cfg, _ids([5, 5, 9]), 3)
+        assert np.asarray(st.freqs).sum() == 0
+        assert (np.asarray(st.versions) == -1).all()
+        assert (np.asarray(st.create_steps) == -1).all()
+        assert int(st.index.size.sum()) == 2
 
     def test_null_row_stays_zero(self):
         cfg = _cfg()
@@ -99,17 +115,19 @@ class TestFilters:
         st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 2)
         assert bool(np.asarray(aux.admitted)[0])  # freq now 3
 
-    def test_counter_filter_counts_once_per_batch(self):
-        # within-batch multiplicity counts 1 (the reference dedups ids per
-        # batch before the PS gather) — identical on local/sharded trainers
+    def test_counter_filter_counts_multiplicity(self):
+        # within-batch multiplicity counts (reference AddFreq(count) via
+        # unique_with_counts) — identical on local/sharded trainers
         cfg = _cfg(counter_filter=dr.CounterFilter(filter_freq=3))
         st = ev.create(cfg)
-        st, aux = ev.lookup_or_create(st, cfg, _ids([42, 42, 42]), 0)
-        assert not bool(np.asarray(aux.admitted)[0])
-        st, aux = ev.lookup_or_create(st, cfg, _ids([42, 42]), 1)
-        assert not bool(np.asarray(aux.admitted)[0])
-        st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 2)
-        assert bool(np.asarray(aux.admitted)[0])
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42, 42]), 0)
+        assert not bool(np.asarray(aux.admitted)[0])  # freq 2 < 3
+        st, aux = ev.lookup_or_create(st, cfg, _ids([42]), 1)
+        assert bool(np.asarray(aux.admitted)[0])      # freq 3
+        # a single batch with multiplicity >= threshold admits immediately
+        st2 = ev.create(cfg)
+        st2, aux2 = ev.lookup_or_create(st2, cfg, _ids([7, 7, 7]), 0)
+        assert bool(np.asarray(aux2.admitted)[0])
 
     def test_cbf_filter_saves_slots(self):
         cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=3, max_element_size=1000))
@@ -123,13 +141,14 @@ class TestFilters:
         assert int(st.index.size.sum()) == 3  # third sighting crosses freq=3
         assert np.asarray(aux.admitted).all()
 
-    def test_cbf_counts_once_per_batch(self):
+    def test_cbf_counts_multiplicity(self):
         cfg = _cfg(cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=1000))
         st = ev.create(cfg)
         st, aux = ev.lookup_or_create(st, cfg, _ids([9, 9]), 0)
-        assert int(st.index.size.sum()) == 0  # multiplicity counts once
-        st, aux = ev.lookup_or_create(st, cfg, _ids([9]), 1)
-        assert int(st.index.size.sum()) == 1
+        assert int(st.index.size.sum()) == 1  # 2 sightings in one batch admit
+        st2 = ev.create(cfg)
+        st2, _ = ev.lookup_or_create(st2, cfg, _ids([9]), 0)
+        assert int(st2.index.size.sum()) == 0  # single sighting does not
 
 
 class TestEviction:
