@@ -68,6 +68,17 @@ def table_snapshot_host(
     cap = config.capacity
     cap1 = cap + 1
     S = num_shards
+    if since_step is not None and not config.version_tracked:
+        # light-layout table (no version stamps): a version-delta selection
+        # would silently drop every row — degrade to a full-row section.
+        # The reference's light EVs likewise need the recorder op for true
+        # deltas; set track_version=True for version-delta incrementals.
+        import warnings
+        warnings.warn(
+            f"table {config.name!r} has no version tracking "
+            "(track_version/evict unset): incremental save falls back to "
+            "all live rows for it", stacklevel=2)
+        since_step = None
 
     # per-shard host blocks: on a multi-process mesh each process sees (and
     # saves) only its addressable shards — the per-part save unit
@@ -245,18 +256,10 @@ class CheckpointManager:
         tables = {}
         for name, coll in trainer.collections.items():
             b = state.tables[name]
-            if not isinstance(b.ev, ev.EVState):
-                # variant tables without a hash index (multi-hash etc.):
-                # fixed-size dense state, saved whole every time
-                arrays = {"__dense__": np.asarray(1, np.int32)}
-                for i, leaf in enumerate(jax.tree_util.tree_leaves(
-                        (b.ev, b.slot))):
-                    arrays[f"leaf__{i:04d}"] = np.asarray(leaf)
-                tables[name] = arrays
-                continue
-            tables[name] = table_snapshot_host(
-                coll.config, b.ev, b.slot, num_shards=S, since_step=since,
-                evict=evict, global_step=gs)
+            # collection polymorphism: base EV = the 4-array compacted
+            # format; variant collections (multi-hash / adaptive / hash
+            # table) declare their own layout via the ckpt_arrays hook
+            tables[name] = coll.ckpt_arrays(b, S, since, evict, gs)
         dense_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(
             (state.params, state.opt_state, state.step))]
         # host-tier rows (TieredTrainer / TieredShardedTrainer): demoted
@@ -365,16 +368,11 @@ class CheckpointManager:
         new_tables = {}
         for name, coll in trainer.collections.items():
             parts = all_arrays[name]
-            if parts and "__dense__" in parts[0]:
-                # dense variant table: the last save wins wholesale
-                last = parts[-1]
-                tmpl = state.tables[name]
-                leaves = [jnp.asarray(last[f"leaf__{i:04d}"])
-                          for i in range(len(jax.tree_util.tree_leaves(
-                              (tmpl.ev, tmpl.slot))))]
-                treedef = jax.tree_util.tree_structure((tmpl.ev, tmpl.slot))
-                ev_new, slot_new = jax.tree_util.tree_unflatten(treedef, leaves)
-                new_tables[name] = tmpl._replace(ev=ev_new, slot=slot_new)
+            # variant collections rebuild their own state (reshard-safe by
+            # construction — replicated dense trees or split EV/dense)
+            custom = coll.ckpt_restore(trainer, state.tables[name], parts, S)
+            if custom is not None:
+                new_tables[name] = custom
                 continue
             # distinct keys across base+replay bound the row count per shard
             n_max = sum(p["keys"].shape[0] for p in parts)

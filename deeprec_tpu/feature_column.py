@@ -384,6 +384,161 @@ class EmbeddingCollection:
         self.config = dataclasses.replace(self.config, capacity=new_cap)
         return new_state, slot_state
 
+    # ------------------------------------------------------------------
+    # Sharded-trainer hooks (mesh polymorphism). The ShardedTrainer never
+    # assumes EVState either: each collection type declares how its state
+    # shards over the mesh axis and how a per-device step looks up /
+    # differentiates / applies gradients. The base implementation is the
+    # row-sharded owner-hash exchange (parallel/sharded.py) — the mesh
+    # analog of the reference's `partitioner=` EV sharding across PS tasks
+    # (variable_scope.py:2141, modelzoo/WDL/train.py:470-478). Variant
+    # collections (multi-hash / adaptive / dynamic-dim / hash-table)
+    # override the subset that differs.
+
+    def sharded_slot_example(self, opt):
+        """Abstract (shape-only) slot pytree for spec construction."""
+        return jax.eval_shape(lambda: self.init_slot(opt, self.init()))
+
+    def _ev_index_spec(self, axis):
+        from .sparse import hashtable as ht_mod
+        from jax.sharding import PartitionSpec as P
+        return ht_mod.HashTable(key_hi=P(axis), key_lo=P(axis),
+                                size=P(axis), overflow=P(axis))
+
+    def _ev_state_spec(self, axis):
+        from jax.sharding import PartitionSpec as P
+        return ev.EVState(
+            index=self._ev_index_spec(axis),
+            values=P(axis), freqs=P(axis), versions=P(axis),
+            create_steps=P(axis),
+            cbf=P(axis) if self.config.cbf_filter else None,
+        )
+
+    def _ev_slot_spec(self, axis, slot_example):
+        from jax.sharding import PartitionSpec as P
+        cap1 = self.config.capacity + 1
+
+        def leaf_spec(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap1:
+                return P(axis)
+            return P()
+        return jax.tree_util.tree_map(leaf_spec, slot_example)
+
+    def sharded_table_spec(self, axis, slot_example):
+        """TableBundle of PartitionSpecs for this collection's state."""
+        from .train.trainer import TableBundle
+        from jax.sharding import PartitionSpec as P
+        return TableBundle(ev=self._ev_state_spec(axis),
+                           slot=self._ev_slot_spec(axis, slot_example),
+                           health=P(axis, None))
+
+    def sharded_init_local(self, opt):
+        """Per-device fresh state (called inside shard_map; every leaf must
+        be deterministic so replicated (P()) outputs agree across devices).
+        Returns a TableBundle whose leaves are the LOCAL shard."""
+        from .train.trainer import TableBundle
+        st = ev.create(self.config)
+        return TableBundle(ev=st, slot=self.init_slot(opt, st),
+                           health=jnp.zeros((1, 3), jnp.int32))
+
+    def sharded_lookup_or_create(self, state, ids2d, step, axis, bucket_cap):
+        """Per-device lookup-or-create over the mesh (inside shard_map):
+        ``ids2d`` is the LOCAL [W, B_local] id batch; ``state`` the local
+        table shard. Returns (state, aux)."""
+        from .parallel import sharded
+        return sharded.exchange_lookup_or_create(self, state, ids2d, step,
+                                                 axis, bucket_cap)
+
+    def table_index(self, state):
+        """The hash index the owner-side readonly lookup probes."""
+        return state.index
+
+    def sharded_owner_lookup(self, state, uniq, step, freq_counts):
+        """Owner-side lookup-or-create over received (deduped) keys."""
+        return ev.lookup_or_create_unique(state, self.config, uniq, step,
+                                          freq_counts=freq_counts)
+
+    def owner_readonly_rows(self, state, slots, found, keys):
+        """Owner-side eval rows for received keys: unknown keys read their
+        deterministic would-be init (KvResourceGather default_value)."""
+        rows = state.values[slots][:, : self.config.embedding_dim]
+        defaults = ev.init_rows(self.config, keys).astype(rows.dtype)
+        rvalid = ~K.is_empty(keys)
+        return jnp.where((found | ~rvalid)[:, None], rows, defaults)
+
+    def sharded_rows(self, state, aux):
+        """Differentiable leaf of the sharded lookup: owner-side rows per
+        received bucket position [S*C, dim]."""
+        from .parallel import sharded
+        return sharded.gather_owner_rows(state.values, aux, self.config)
+
+    def sharded_rows_back(self, urows, aux, axis, bucket_cap):
+        """(rows_flat [N_local, dim], valid_flat [N_local]) in the local
+        flat-id layout; linear in ``urows`` so autodiff emits the reverse
+        exchange."""
+        from .parallel import sharded
+        return sharded.rows_back(urows, aux, axis, bucket_cap)
+
+    def sharded_apply_gradients(self, state, opt, slot_state, aux,
+                                d_urows, step, axis, num_shards):
+        """Owner-side sparse apply of the cotangent of sharded_rows."""
+        from .parallel import sharded
+        return sharded.apply_gradients_sharded(self, state, opt, slot_state,
+                                               aux, d_urows, step)
+
+    def sharded_readonly(self, state, ids2d, axis, bucket_cap):
+        """Eval-path exchange: (rows_flat, valid_flat), no mutation."""
+        from .parallel import sharded
+        return sharded.exchange_lookup_readonly(self, state, ids2d, axis,
+                                                bucket_cap)
+
+    def sharded_health(self, health, aux):
+        """Per-device health accumulation from one exchange's aux."""
+        if health is None:
+            return None
+        from .parallel import sharded as _sh
+        if not isinstance(aux, _sh.ShardedAux):
+            return health
+        ov_l = aux.local_uniq.n_overflow
+        ov_r = aux.recv_uniq.n_overflow
+        nu = jnp.maximum(aux.local_uniq.n_unique.astype(jnp.int32) + ov_l,
+                         aux.recv_uniq.n_unique.astype(jnp.int32) + ov_r)
+        sat = ((ov_l > 0) | (ov_r > 0)).astype(jnp.int32)
+        return jnp.stack([health[:, 0] + aux.n_dropped,
+                          health[:, 1] + sat,
+                          jnp.maximum(health[:, 2], nu)], axis=-1)
+
+    def index_view(self, state):
+        """The EVState-shaped view growth/health watch, or None when the
+        collection has no dynamic index (multi-hash)."""
+        return state if isinstance(state, ev.EVState) else None
+
+    def sharded_grow_local(self, bundle, new_cap, fills):
+        """Per-shard growth body (inside shard_map): rebuild the index at
+        ``new_cap`` and permute optimizer slot rows along."""
+        from .optim.sparse import permute_slot_state
+        new_ev, perm = ev.grow(bundle.ev, self.config, new_cap)
+        slot = permute_slot_state(bundle.slot, perm, new_cap, fills=fills)
+        return bundle._replace(ev=new_ev, slot=slot)
+
+    # ------------------------------------------------------------------
+    # Checkpoint hooks (full + incremental, reshard-safe).
+
+    def ckpt_arrays(self, bundle, num_shards, since, evict, global_step):
+        """Compact this collection's state into flat numpy arrays (the
+        per-save unit). Base EV = the 4-array {keys, values, versions,
+        freqs} format + slot rows (saveable_object_util.py:169-172)."""
+        from .checkpoint.saver import table_snapshot_host
+        return table_snapshot_host(self.config, bundle.ev, bundle.slot,
+                                   num_shards=num_shards, since_step=since,
+                                   evict=evict, global_step=global_step)
+
+    def ckpt_restore(self, trainer, template, parts, num_shards):
+        """Rebuild a TableBundle from saved parts (base + incremental
+        replays, oldest first). Return None to use the saver's generic
+        EV flow (owner-hash routed, reshard-safe)."""
+        return None
+
 
 def dense_features(columns: Sequence[NumericColumn], batch: Dict[str, jax.Array]) -> jax.Array:
     """Concatenate numeric columns -> [B, sum(shape)] float32."""

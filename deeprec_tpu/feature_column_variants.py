@@ -34,9 +34,48 @@ class FlatAux(NamedTuple):
     valid: jax.Array
 
 
-class MultiHashCollection(EmbeddingCollection):
+class _DenseCkptMixin:
+    """Checkpoint hooks for collections whose state is a fixed-size dense
+    pytree (no per-key hash index): the whole tree is dumped per save, the
+    last save wins at restore. Replicated on a mesh, so the dump is
+    identical for any shard count — trivially reshard-safe."""
+
+    def ckpt_arrays(self, bundle, num_shards, since, evict, global_step):
+        import numpy as np
+        arrays = {"__dense__": np.asarray(1, np.int32)}
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(
+                (bundle.ev, bundle.slot))):
+            arrays[f"leaf__{i:04d}"] = np.asarray(leaf)
+        return arrays
+
+    def ckpt_restore(self, trainer, template, parts, num_shards):
+        import numpy as np
+        last = parts[-1]
+        n = len(jax.tree_util.tree_leaves((template.ev, template.slot)))
+        leaves = [jnp.asarray(last[f"leaf__{i:04d}"]) for i in range(n)]
+        treedef = jax.tree_util.tree_structure((template.ev, template.slot))
+        ev_new, slot_new = jax.tree_util.tree_unflatten(treedef, leaves)
+        mesh = getattr(trainer, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from .parallel.multihost import host_to_global
+            put = lambda x: host_to_global(mesh, P(), np.asarray(x))
+            ev_new = jax.tree_util.tree_map(put, ev_new)
+            slot_new = jax.tree_util.tree_map(put, slot_new)
+        return template._replace(ev=ev_new, slot=slot_new)
+
+
+class MultiHashCollection(_DenseCkptMixin, EmbeddingCollection):
     """Coalesced columns over a compositional Q-R multi-hash table: O(Q+R)
-    rows serve the whole id space; no dynamic index, no growth."""
+    rows serve the whole id space; no dynamic index, no growth.
+
+    Mesh design (reference shards MultiHashVariable across PS tasks via
+    `partitioner=`, kv_variable_ops.py:768): the whole point of the Q-R
+    trick is to compress the id space into tables that FIT, so on TPU the
+    sub-tables are **replicated** across the mesh — the lookup is then a
+    purely local dense gather (zero exchange), and the update allgathers
+    the per-device (ids, cotangents) and applies the identical global
+    update on every device, preserving replication bit-for-bit."""
 
     def __init__(self, columns, name: str = "mh",
                  table_sizes: Tuple[int, ...] = (1 << 16, 1 << 12),
@@ -88,6 +127,49 @@ class MultiHashCollection(EmbeddingCollection):
 
     def load_factor(self, state):
         return 0.0
+
+    # -- sharded hooks (replicated tables, allgather gradient union) -------
+    def sharded_table_spec(self, axis, slot_example):
+        from jax.sharding import PartitionSpec as P
+        from .train.trainer import TableBundle
+        rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+        return TableBundle(ev=rep(jax.eval_shape(self.init)),
+                           slot=rep(slot_example), health=None)
+
+    def sharded_init_local(self, opt):
+        from .train.trainer import TableBundle
+        st = self.init()
+        return TableBundle(ev=st, slot=self.init_slot(opt, st), health=None)
+
+    def sharded_lookup_or_create(self, state, ids2d, step, axis, bucket_cap):
+        # tables are replicated: the lookup is local, no exchange
+        return self.lookup_or_create(state, ids2d, step)
+
+    def sharded_health(self, health, aux):
+        return health
+
+    def sharded_rows(self, state, aux):
+        return mh.lookup(state, self.mh_config, aux.ev_aux.flat)
+
+    def sharded_rows_back(self, urows, aux, axis, bucket_cap):
+        return urows, aux.ev_aux.valid
+
+    def sharded_apply_gradients(self, state, opt, slot_state, aux,
+                                d_urows, step, axis, num_shards):
+        # union the per-device sparse updates: allgather (ids, cotangents)
+        # and run the identical global-batch apply on every device
+        flat = aux.ev_aux.flat
+        g = jax.lax.all_gather(d_urows, axis)          # [S, N, d]
+        hi = jax.lax.all_gather(flat.hi, axis)          # [S, N]
+        lo = jax.lax.all_gather(flat.lo, axis)
+        ids_g = K.Keys(hi.reshape(-1), lo.reshape(-1))
+        return mh.apply_gradients(state, self.mh_config, opt, slot_state,
+                                  ids_g, g.reshape(-1, g.shape[-1]), step)
+
+    def sharded_readonly(self, state, ids2d, axis, bucket_cap):
+        _, aux = self.lookup_or_create(state, ids2d, jnp.int32(0))
+        return (mh.lookup(state, self.mh_config, aux.ev_aux.flat),
+                aux.ev_aux.valid)
 
 
 class AdaptiveCollection(EmbeddingCollection):
@@ -166,6 +248,201 @@ class AdaptiveCollection(EmbeddingCollection):
     def load_factor(self, state):
         return float(ev.load_factor(state.ev))
 
+    def grow_state(self, state, slot_state, opt=None):
+        import dataclasses
+        from .optim.sparse import permute_slot_state
+        new_cap = self.config.capacity * 2
+        new_ev, perm = ev.grow(state.ev, self.config, new_cap)
+        ev_slot = permute_slot_state(slot_state["ev"], perm, new_cap,
+                                     fills=opt.fills if opt else None)
+        self.config = dataclasses.replace(self.config, capacity=new_cap)
+        return state._replace(ev=new_ev), {"ev": ev_slot,
+                                           "static": slot_state["static"]}
+
+    # -- sharded hooks: the EV half rides the owner-hash exchange; the
+    #    static bucket table is small by construction and replicated, with
+    #    its gradients dense-accumulated and psum'd (reference shards the
+    #    adaptive pair across PS via partitioner; feature_column_v2.py:2051)
+    def index_view(self, state):
+        return state.ev
+
+    def table_index(self, state):
+        return state.ev.index
+
+    def sharded_table_spec(self, axis, slot_example):
+        from jax.sharding import PartitionSpec as P
+        from .train.trainer import TableBundle
+        ad_spec = ad.AdaptiveState(ev=self._ev_state_spec(axis), static=P())
+        slot_spec = {
+            "ev": self._ev_slot_spec(axis, slot_example["ev"]),
+            "static": jax.tree_util.tree_map(lambda _: P(),
+                                             slot_example["static"]),
+        }
+        return TableBundle(ev=ad_spec, slot=slot_spec, health=P(axis, None))
+
+    def sharded_init_local(self, opt):
+        from .train.trainer import TableBundle
+        st = self.init()  # deterministic (fixed rng key) -> replicas agree
+        return TableBundle(ev=st, slot=self.init_slot(opt, st),
+                           health=jnp.zeros((1, 3), jnp.int32))
+
+    def sharded_owner_lookup(self, state, uniq, step, freq_counts):
+        """Owner-side EV lookup + the warm-migration seeding of
+        :func:`adaptive.lookup_or_create`, driven by the summed
+        per-requester multiplicities."""
+        ev_state, aux = ev.lookup_or_create_unique(
+            state.ev, self.config, uniq, step, freq_counts=freq_counts)
+        buckets = state.static.shape[0] - 1
+        b = ad.bucket_of(uniq.ukeys, buckets)
+        if self.config.counter_filter is not None:
+            thr = self.config.counter_filter.filter_freq
+            prev = ev_state.freqs[aux.slots] - freq_counts
+            newly = aux.admitted & (prev < thr)
+        else:
+            newly = aux.created
+        dest = jnp.where(newly, aux.slots, self.config.capacity + 1)
+        seeded = ev_state.values.at[dest].set(
+            state.static[b].astype(ev_state.values.dtype), mode="drop",
+            unique_indices=True)
+        return (state._replace(ev=ev_state._replace(values=seeded)), aux)
+
+    def sharded_rows(self, state, aux):
+        blended = ad.gather_from(state.ev.values, state.static, self.config,
+                                 aux.recv_aux)
+        return blended[aux.recv_uniq.inverse]
+
+    def owner_readonly_rows(self, state, slots, found, keys):
+        thr = (self.config.counter_filter.filter_freq
+               if self.config.counter_filter is not None else 0)
+        admitted = found & (state.ev.freqs[slots] >= thr)
+        buckets = state.static.shape[0] - 1
+        b = ad.bucket_of(keys, buckets)
+        ev_rows = state.ev.values[slots]
+        st_rows = state.static[b].astype(ev_rows.dtype)
+        return jnp.where(admitted[:, None], ev_rows, st_rows)
+
+    def sharded_apply_gradients(self, state, opt, slot_state, aux,
+                                d_urows, step, axis, num_shards):
+        from .ops.unique import unique_int32
+        a = aux.recv_aux
+        n = aux.recv_uniq.ukeys.shape[0]
+        gu = jax.ops.segment_sum(d_urows, aux.recv_uniq.inverse, n)
+        # EV half: admitted keys, owner-local apply
+        cur = ev.gather(state.ev.values, a, self.config)
+        values, ev_slot = opt.apply(state.ev.values, slot_state["ev"],
+                                    a.slots, gu, a.admitted, step,
+                                    cur_rows=cur, created=a.created)
+        # static half: tail keys -> dense per-bucket grads, psum across the
+        # mesh, identical dense apply on every device (replication-safe)
+        buckets = state.static.shape[0] - 1
+        tail = ~a.admitted & ~K.is_empty(a.uniq.ukeys)
+        b = jnp.where(tail, ad.bucket_of(a.uniq.ukeys, buckets), buckets)
+        ub, inv, _ = unique_int32(b)
+        gb = jax.ops.segment_sum(jnp.where(tail[:, None], gu, 0.0), inv,
+                                 ub.shape[0])
+        dest = jnp.where(ub < buckets, ub, buckets + 1)  # OOB -> dropped
+        dense = jnp.zeros_like(state.static).at[dest].add(
+            gb.astype(state.static.dtype), mode="drop", unique_indices=True)
+        touched = jnp.zeros((buckets + 1,), jnp.int32).at[dest].set(
+            1, mode="drop", unique_indices=True)
+        dense = jax.lax.psum(dense, axis)
+        touched = jax.lax.psum(touched, axis) > 0
+        static, st_slot = opt.apply(state.static, slot_state["static"],
+                                    jnp.arange(buckets + 1), dense, touched,
+                                    step)
+        return (state._replace(ev=state.ev._replace(values=values),
+                               static=static),
+                {"ev": ev_slot, "static": st_slot})
+
+    def sharded_grow_local(self, bundle, new_cap, fills):
+        from .optim.sparse import permute_slot_state
+        new_ev, perm = ev.grow(bundle.ev.ev, self.config, new_cap)
+        ev_slot = permute_slot_state(bundle.slot["ev"], perm, new_cap,
+                                     fills=fills)
+        return bundle._replace(ev=bundle.ev._replace(ev=new_ev),
+                               slot={"ev": ev_slot,
+                                     "static": bundle.slot["static"]})
+
+    # -- checkpoint: EV half in the 4-array reshard-safe format; static
+    #    half (replicated) as dense leaves, last save wins
+    def ckpt_arrays(self, bundle, num_shards, since, evict, global_step):
+        import numpy as np
+        from .checkpoint.saver import table_snapshot_host
+        out = table_snapshot_host(self.config, bundle.ev.ev,
+                                  bundle.slot["ev"], num_shards=num_shards,
+                                  since_step=since, evict=evict,
+                                  global_step=global_step)
+        out["static__table"] = np.asarray(bundle.ev.static)
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(
+                bundle.slot["static"])):
+            out[f"static__slot{i:04d}"] = np.asarray(leaf)
+        return out
+
+    def ckpt_restore(self, trainer, template, parts, num_shards):
+        import dataclasses
+        import numpy as np
+        from .checkpoint import saver as SV
+        name = next(n for n, c in trainer.collections.items() if c is self)
+        opt = trainer.sparse_optimizers[name]
+        ev_parts = [{k: v for k, v in p.items()
+                     if not k.startswith("static__")} for p in parts]
+        n_max = sum(p["keys"].shape[0] for p in ev_parts)
+        per_shard = int(np.ceil(n_max / num_shards)) + 8
+        cap = SV.needed_capacity(per_shard, self.config.capacity)
+        if cap != self.config.capacity:
+            self.config = dataclasses.replace(self.config, capacity=cap)
+            trainer.rejit()
+
+        def scatter_all(st, slot):
+            for p in (ev_parts if num_shards == 1 else ()):
+                st, slot = SV._scatter_table(st, slot, opt, self.config, p)
+            return st, slot
+
+        if num_shards == 1:
+            st = ev.create(self.config)
+            slot = opt.init(st.values)
+            st, slot = scatter_all(st, slot)
+            ev_state, ev_slot = st, slot
+        else:
+            from jax.sharding import PartitionSpec as P
+            from .parallel.multihost import host_to_global
+            routed = [SV.route_to_shards(p, num_shards) for p in ev_parts]
+            shard_states, shard_slots = [], []
+            for s in range(num_shards):
+                st = ev.create(self.config)
+                slot = opt.init(st.values)
+                for p in routed:
+                    st, slot = SV._scatter_table(st, slot, opt,
+                                                 self.config, p[s])
+                shard_states.append(st)
+                shard_slots.append(slot)
+
+            def stack(*leaves):
+                l0 = leaves[0]
+                if hasattr(l0, "ndim") and l0.ndim >= 1:
+                    glob = np.concatenate([np.asarray(l) for l in leaves], 0)
+                    return host_to_global(trainer.mesh, P(trainer.axis), glob)
+                return host_to_global(trainer.mesh, P(), leaves[0])
+
+            ev_state = jax.tree_util.tree_map(stack, *shard_states)
+            ev_slot = jax.tree_util.tree_map(stack, *shard_slots)
+
+        static = jnp.asarray(parts[-1]["static__table"])
+        n_st = len(jax.tree_util.tree_leaves(template.slot["static"]))
+        st_leaves = [jnp.asarray(parts[-1][f"static__slot{i:04d}"])
+                     for i in range(n_st)]
+        st_slot = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template.slot["static"]), st_leaves)
+        if num_shards > 1:
+            from jax.sharding import PartitionSpec as P
+            from .parallel.multihost import host_to_global
+            put = lambda x: host_to_global(trainer.mesh, P(), np.asarray(x))
+            static = put(static)
+            st_slot = jax.tree_util.tree_map(put, st_slot)
+        return template._replace(
+            ev=ad.AdaptiveState(ev=ev_state, static=static),
+            slot={"ev": ev_slot, "static": st_slot})
+
 
 class HTState(NamedTuple):
     """Hash-table collection state: id allocator + row store (+ the
@@ -181,7 +458,7 @@ class HTAux(NamedTuple):
     created: jax.Array         # [U] allocated this step
 
 
-class HashTableCollection(EmbeddingCollection):
+class HashTableCollection(_DenseCkptMixin, EmbeddingCollection):
     """``hash_table_column`` (reference feature_column/hash_table_column.py:49
     HashTableColumn + python/ops/hash_table/embedding.py): embedding lookup
     backed by the second KV stack — a dense-id-allocating HashTable plus a
@@ -327,6 +604,10 @@ class DynamicDimCollection(EmbeddingCollection):
         if dynamic_dim is None or dynamic_dim.full_dim != self.dim:
             raise ValueError("dynamic_dim.full_dim must equal the column dim")
         self.dd = dynamic_dim
+        if self.config.track_freq is None:
+            # block widths gate on freq: the light layout must not drop it
+            import dataclasses as _dc
+            self.config = _dc.replace(self.config, track_freq=True)
 
     def rows_for_training(self, state, aux):
         return dd_mod.gather(state, self.dd, aux.ev_aux, self.config)
@@ -345,3 +626,28 @@ class DynamicDimCollection(EmbeddingCollection):
         aux, rows = super().readonly_rows(state, cats)
         mask = dd_mod.block_mask(self.dd, state.freqs[aux.ev_aux.slots])
         return aux, rows * mask
+
+    # -- sharded hooks: state is a plain EVState, so the owner-hash
+    #    exchange and the 4-array checkpoint path apply unchanged; only the
+    #    frequency-derived block masking joins on the owner side (where the
+    #    freq metadata lives — global counts, like the reference's PS)
+    def sharded_rows(self, state, aux):
+        a = aux.recv_aux
+        rows = ev.gather(state.values, a, self.config)
+        rows = rows * dd_mod.block_mask(self.dd, state.freqs[a.slots])
+        return rows[aux.recv_uniq.inverse]
+
+    def sharded_apply_gradients(self, state, opt, slot_state, aux,
+                                d_urows, step, axis, num_shards):
+        # defensive re-mask (the masked sharded_rows already zeroes the
+        # inactive blocks' cotangents through autodiff)
+        a = aux.recv_aux
+        mask_u = dd_mod.block_mask(self.dd, state.freqs[a.slots])
+        d_urows = d_urows * mask_u[aux.recv_uniq.inverse]
+        return super().sharded_apply_gradients(state, opt, slot_state, aux,
+                                               d_urows, step, axis,
+                                               num_shards)
+
+    def owner_readonly_rows(self, state, slots, found, keys):
+        rows = super().owner_readonly_rows(state, slots, found, keys)
+        return rows * dd_mod.block_mask(self.dd, state.freqs[slots])

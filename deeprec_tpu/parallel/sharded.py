@@ -117,10 +117,27 @@ def exchange_lookup_or_create(
     recv_lo = jax.lax.all_to_all(send.lo.reshape(S, bucket_cap), axis, 0, 0, tiled=False)
     recv_keys = K.Keys(recv_hi.reshape(-1), recv_lo.reshape(-1))
 
-    # owner side: dedup (the same key may arrive from several requesters),
-    # then the ordinary local lookup-or-create with filters/metadata.
+    # when the table tracks frequencies, the per-requester multiplicities
+    # ride a third all_to_all so the owner's freq/CBF bookkeeping counts id
+    # OCCURRENCES (reference AddFreq(count) semantics), not requesting
+    # devices; light-layout tables skip the plane entirely
     recv_uniq = unique(recv_keys, coll.config.max_unique)
-    state, recv_aux = _ev_lookup_unique(state, coll, recv_uniq, step)
+    if coll.config.freq_tracked:
+        send_counts = jnp.zeros((S * bucket_cap,), jnp.int32).at[dest].set(
+            uniq.counts.astype(jnp.int32), mode="drop", unique_indices=True)
+        recv_counts = jax.lax.all_to_all(
+            send_counts.reshape(S, bucket_cap), axis, 0, 0,
+            tiled=False).reshape(-1)
+        freq_counts = jax.ops.segment_sum(
+            recv_counts, recv_uniq.inverse, recv_uniq.ukeys.shape[0])
+    else:
+        freq_counts = recv_uniq.counts.astype(jnp.int32)
+
+    # owner side: dedup (the same key may arrive from several requesters),
+    # then the collection's lookup-or-create with filters/metadata
+    # (variant collections hook in here — e.g. adaptive warm seeding).
+    state, recv_aux = coll.sharded_owner_lookup(state, recv_uniq, step,
+                                                freq_counts)
 
     return state, ShardedAux(
         local_uniq=uniq, owner=owner, pos=pos, routed=routed,
@@ -140,11 +157,6 @@ def _dedup_local(coll, ids):
     return unique(flat, coll.config.max_unique)
 
 
-def _ev_lookup_unique(state, coll, uniq: UniqueResult, step):
-    """ev.lookup_or_create over an already-deduped UniqueResult (the counts
-    reflect per-requester multiplicity — freq semantics match the
-    reference's per-lookup counting on the PS side)."""
-    return ev.lookup_or_create_unique(state, coll.config, uniq, step)
 
 
 def gather_owner_rows(state_values: jax.Array, aux: ShardedAux,
@@ -235,11 +247,9 @@ def exchange_lookup_readonly(
     recv_lo = jax.lax.all_to_all(send.lo.reshape(S, bucket_cap), axis, 0, 0)
     recv_keys = K.Keys(recv_hi.reshape(-1), recv_lo.reshape(-1))
 
-    slots, found = ht.lookup(state.index, recv_keys, coll.config.max_probes)
-    rows_r = state.values[slots][:, : coll.config.embedding_dim]
-    defaults = ev.init_rows(coll.config, recv_keys).astype(rows_r.dtype)
-    rvalid = ~K.is_empty(recv_keys)
-    rows_r = jnp.where((found | ~rvalid)[:, None], rows_r, defaults)
+    slots, found = ht.lookup(coll.table_index(state), recv_keys,
+                             coll.config.max_probes)
+    rows_r = coll.owner_readonly_rows(state, slots, found, recv_keys)
 
     d = rows_r.shape[-1]
     back = jax.lax.all_to_all(rows_r.reshape(S, bucket_cap, d), axis, 0, 0)

@@ -98,26 +98,11 @@ class ShardedTrainer:
 
     # -- sharding specs ---------------------------------------------------
     def _table_spec(self, coll, slot_example) -> TableBundle:
-        cap1 = coll.config.capacity + 1
-        def slot_leaf_spec(leaf):
-            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap1:
-                return P(self.axis)
-            return P()
-        ev_spec = ev.EVState(
-            index=ht.HashTable(key_hi=P(self.axis), key_lo=P(self.axis),
-                               size=P(self.axis), overflow=P(self.axis)),
-            values=P(self.axis), freqs=P(self.axis), versions=P(self.axis),
-            create_steps=P(self.axis),
-            cbf=P(self.axis) if coll.config.cbf_filter else None,
-        )
-        return TableBundle(ev=ev_spec,
-                           slot=jax.tree_util.tree_map(slot_leaf_spec, slot_example),
-                           health=P(self.axis, None))
+        return coll.sharded_table_spec(self.axis, slot_example)
 
     def _state_spec(self):
         self._slot_examples = {
-            name: self.sparse_optimizers[name].init(
-                jax.eval_shape(lambda c=coll: ev.create(c.config).values))
+            name: coll.sharded_slot_example(self.sparse_optimizers[name])
             for name, coll in self.collections.items()
         }
         tables = {name: self._table_spec(coll, self._slot_examples[name])
@@ -129,42 +114,53 @@ class ShardedTrainer:
         )
 
     # -- init ---------------------------------------------------------------
+    _PARAMS_INIT_CAP = 4096  # throwaway-table capacity for params init
+
     def init(self, rng, sample_batch) -> TrainState:
+        """Params/opt_state come from a single-device init over SMALL
+        throwaway tables (capacity clamped — model parameters depend only
+        on embedding dims, not table capacity); table state is created
+        directly on the mesh by one no-input shard_map (no full-capacity
+        host tiling, no S*cap*dim transient — the round-2 init allocated
+        and threw away full tables, then np.tile'd S copies on the host)."""
+        import dataclasses as _dc
         from ..train.trainer import Trainer
-        # reuse the single-device Trainer init for params/opt_state, then
-        # tile table state across shards.
-        base = Trainer(self.model, self.numeric_columns, self.collections,
-                       self.sparse_optimizers, self.dense_optimizer,
-                       forward=self.forward)
-        st = base.init(rng, sample_batch)
+        saved = {n: c.config for n, c in self.collections.items()}
+        try:
+            for n, c in self.collections.items():
+                if c.config.capacity > self._PARAMS_INIT_CAP:
+                    c.config = _dc.replace(c.config,
+                                           capacity=self._PARAMS_INIT_CAP)
+            base = Trainer(self.model, self.numeric_columns, self.collections,
+                           self.sparse_optimizers, self.dense_optimizer,
+                           forward=self.forward)
+            st = base.init(rng, sample_batch)
+        finally:
+            for n, c in self.collections.items():
+                c.config = saved[n]
         from .multihost import host_to_global
         put_repl = lambda x: host_to_global(self.mesh, P(), x)
-        put_rows = lambda x: host_to_global(self.mesh, P(self.axis), x)
-
-        def tile_table(bundle, coll):
-            def tile(leaf):
-                if hasattr(leaf, "ndim") and leaf.ndim >= 1:
-                    t = np.tile(np.asarray(leaf),
-                                (self.S,) + (1,) * (leaf.ndim - 1))
-                    return put_rows(t)
-                return put_repl(leaf)
-            fresh_ev = ev.create(coll.config)
-            fresh_slot = self.sparse_optimizers_of(coll).init(fresh_ev.values)
-            return TableBundle(
-                ev=jax.tree_util.tree_map(tile, fresh_ev),
-                slot=jax.tree_util.tree_map(tile, fresh_slot),
-                health=put_rows(np.zeros((self.S, 3), np.int32)),
-            )
-
-        tables = {name: tile_table(st.tables[name], coll)
-                  for name, coll in self.collections.items()}
         return TrainState(
             params=jax.tree_util.tree_map(put_repl, st.params),
             opt_state=jax.tree_util.tree_map(put_repl, st.opt_state),
-            tables=tables,
+            tables=self._init_tables(),
             metrics=jax.tree_util.tree_map(put_repl, metrics_lib.create()),
             step=put_repl(st.step),
         )
+
+    def _init_tables(self) -> Dict[str, TableBundle]:
+        """Fresh sharded table state, created per shard on its own device
+        (deterministic bodies, so replicated leaves agree)."""
+        specs = {name: self._table_spec(coll, self._slot_examples[name])
+                 for name, coll in self.collections.items()}
+
+        def body():
+            return {name: coll.sharded_init_local(self.sparse_optimizers[name])
+                    for name, coll in self.collections.items()}
+
+        fn = jax.jit(jax.shard_map(body, mesh=self.mesh, in_specs=(),
+                                   out_specs=specs, check_vma=False))
+        return fn()
 
     def sparse_optimizers_of(self, coll):
         for name, c in self.collections.items():
@@ -208,31 +204,15 @@ class ShardedTrainer:
         return max(c, 8)
 
     # -- per-device step bodies (inside shard_map) ---------------------------
-    def _bump_health(self, health, coll, aux: "sharded.ShardedAux"):
-        """Per-device health accumulation (see TableBundle.health): bucket
-        drops + dedup saturation on either side of the exchange."""
-        if health is None:
-            return None
-        # saturation from each dedup's own overflow count (see
-        # train.trainer._bump_health for why n_unique >= cap is wrong)
-        ov_l = aux.local_uniq.n_overflow
-        ov_r = aux.recv_uniq.n_overflow
-        nu = jnp.maximum(aux.local_uniq.n_unique.astype(jnp.int32) + ov_l,
-                         aux.recv_uniq.n_unique.astype(jnp.int32) + ov_r)
-        sat = ((ov_l > 0) | (ov_r > 0)).astype(jnp.int32)
-        return jnp.stack([health[:, 0] + aux.n_dropped,
-                          health[:, 1] + sat,
-                          jnp.maximum(health[:, 2], nu)], axis=-1)
-
     def _sparse_forward(self, tables, cats, step):
         new_tables, auxs, caps = {}, {}, {}
         for name, coll in self.collections.items():
             ids2d = cats[name]
             cap = self._bucket_cap(coll, ids2d.shape[0] * ids2d.shape[1])
             caps[name] = cap
-            ev_state, aux = sharded.exchange_lookup_or_create(
-                coll, tables[name].ev, ids2d, step, self.axis, cap)
-            health = self._bump_health(tables[name].health, coll, aux)
+            ev_state, aux = coll.sharded_lookup_or_create(
+                tables[name].ev, ids2d, step, self.axis, cap)
+            health = coll.sharded_health(tables[name].health, aux)
             new_tables[name] = tables[name]._replace(ev=ev_state,
                                                      health=health)
             auxs[name] = aux
@@ -244,16 +224,15 @@ class ShardedTrainer:
         grads (pmean deferred to the caller so k microbatches cost one
         collective, not k)."""
         tables, auxs, caps = self._sparse_forward(tables, cats, step)
-        urows = {name: sharded.gather_owner_rows(
-                     tables[name].ev.values, auxs[name],
-                     self.collections[name].config)
+        urows = {name: self.collections[name].sharded_rows(
+                     tables[name].ev, auxs[name])
                  for name in self.collections}
 
         def loss_fn(params, urows):
             outputs = {}
             for name, coll in self.collections.items():
-                rows, valid = sharded.rows_back(urows[name], auxs[name],
-                                                self.axis, caps[name])
+                rows, valid = coll.sharded_rows_back(urows[name], auxs[name],
+                                                     self.axis, caps[name])
                 outputs[name] = (coll.embeddings_from_rows(rows, valid),
                                  coll.sequence_embeddings_from_rows(rows, valid))
             box = {}
@@ -278,9 +257,9 @@ class ShardedTrainer:
         new_tables = {}
         for name, coll in self.collections.items():
             bundle = tables[name]
-            ev_state, slot = sharded.apply_gradients_sharded(
-                coll, bundle.ev, self.sparse_optimizers[name], bundle.slot,
-                auxs[name], gu[name] * inv_s, step)
+            ev_state, slot = coll.sharded_apply_gradients(
+                bundle.ev, self.sparse_optimizers[name], bundle.slot,
+                auxs[name], gu[name] * inv_s, step, self.axis, self.S)
             new_tables[name] = bundle._replace(ev=ev_state, slot=slot)
         return new_tables, gp, loss, logits, bs_updates
 
@@ -329,6 +308,13 @@ class ShardedTrainer:
         updates, opt_state = self.dense_optimizer.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         from ..train.trainer import _merge_batch_stats
+        # batch_stats (Dice/BatchNorm running averages) were computed from
+        # each device's local batch shard, but params are replicated (P());
+        # pmean them so the merged running stats are identical on every
+        # device — cross-replica-averaged BN semantics, and the checkpoint
+        # no longer captures an arbitrary device's copy.
+        bs_updates = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, self.axis), bs_updates)
         params = _merge_batch_stats(params, bs_updates)
 
         delta = metrics_lib.update(metrics_lib.create(state.metrics.pos_hist.shape[0]),
@@ -345,8 +331,8 @@ class ShardedTrainer:
         for name, coll in self.collections.items():
             ids2d = cats[name]
             cap = self._bucket_cap(coll, ids2d.shape[0] * ids2d.shape[1])
-            rows, valid = sharded.exchange_lookup_readonly(
-                coll, state.tables[name].ev, ids2d, self.axis, cap)
+            rows, valid = coll.sharded_readonly(
+                state.tables[name].ev, ids2d, self.axis, cap)
             outputs[name] = (coll.embeddings_from_rows(rows, valid),
                              coll.sequence_embeddings_from_rows(rows, valid))
         out = self.forward(functools.partial(self.model.apply, state.params),
@@ -383,17 +369,17 @@ class ShardedTrainer:
         The single-device Trainer has had this since round 1; without it a
         mesh run saturates silently (new keys read the null row)."""
         import dataclasses as _dc
-        from ..optim.sparse import permute_slot_state
 
         tables = dict(state.tables)
         changed = False
         for name, coll in self.collections.items():
             b = tables[name]
-            if not isinstance(b.ev, ev.EVState):
+            idx_view = coll.index_view(b.ev)
+            if idx_view is None:
                 continue
             from .multihost import np_global
-            sizes = np_global(b.ev.index.size).reshape(-1)
-            over = int(np_global(b.ev.index.overflow).sum())
+            sizes = np_global(idx_view.index.size).reshape(-1)
+            over = int(np_global(idx_view.index.overflow).sum())
             cfg = coll.config
             if sizes.max() / cfg.capacity < threshold and over == 0:
                 continue
@@ -401,11 +387,8 @@ class ShardedTrainer:
             fills = self.sparse_optimizers[name].fills
             spec = self._table_spec(coll, self._slot_examples[name])
 
-            def per_shard(bundle, cfg=cfg, new_cap=new_cap, fills=fills):
-                new_ev, perm = ev.grow(bundle.ev, cfg, new_cap)
-                slot = permute_slot_state(bundle.slot, perm, new_cap,
-                                          fills=fills)
-                return bundle._replace(ev=new_ev, slot=slot)
+            def per_shard(bundle, coll=coll, new_cap=new_cap, fills=fills):
+                return coll.sharded_grow_local(bundle, new_cap, fills)
 
             grow_fn = jax.jit(jax.shard_map(
                 per_shard, mesh=self.mesh, in_specs=(spec,), out_specs=spec,

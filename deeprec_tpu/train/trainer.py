@@ -330,9 +330,10 @@ class Trainer:
         out = {}
         for name, coll in self.collections.items():
             b = state.tables[name]
-            if not isinstance(b.ev, ev.EVState):
+            idx_view = coll.index_view(b.ev)
+            if idx_view is None:
                 continue
-            sizes = _np_global(b.ev.index.size).reshape(-1)
+            sizes = _np_global(idx_view.index.size).reshape(-1)
             cap = coll.config.capacity
             h = (_np_global(b.health).reshape(-1, 3)
                  if b.health is not None else np.zeros((1, 3), np.int64))
@@ -341,7 +342,7 @@ class Trainer:
                 "capacity": cap,
                 "shards": int(sizes.shape[0]),
                 "load_factor": float(sizes.max()) / cap,
-                "overflow": int(_np_global(b.ev.index.overflow).sum()),
+                "overflow": int(_np_global(idx_view.index.overflow).sum()),
                 "dropped": int(h[:, 0].sum()),
                 "unique_saturated_steps": int(h[:, 1].max()),
                 "max_n_unique": int(h[:, 2].max()),

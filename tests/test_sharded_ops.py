@@ -141,7 +141,8 @@ def test_sharded_microbatch_matches_single_batch_metrics_shape():
 
 def test_freq_semantics_identical_local_vs_sharded():
     """CounterFilter admission must not change when a run adds --mesh: freq
-    counts once per global batch per key on BOTH trainers."""
+    counts within-batch MULTIPLICITY (reference AddFreq(count)) on BOTH
+    trainers — the exchange routes the per-requester counts to the owner."""
     from deeprec_tpu.checkpoint.saver import table_snapshot_host
 
     ids = np.asarray([5, 5, 5, 7, 7, 9], np.int64)  # multiplicities 3/2/1
@@ -164,5 +165,6 @@ def test_freq_semantics_identical_local_vs_sharded():
     fl = freq_by_key(tr_l, st_l)
     fs = freq_by_key(tr_s, st_s)
     assert fl == fs
-    # once per batch: every key seen in 3 batches has freq exactly 3
-    assert set(fl.values()) == {3}
+    # multiplicity: ids 5/7/9 appear 6/4/2 times per batch (bs=12 resize),
+    # x3 batches -> freqs {18, 12, 6} (both salted columns alike)
+    assert set(fl.values()) == {18, 12, 6}
