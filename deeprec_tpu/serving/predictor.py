@@ -222,6 +222,192 @@ def _default_forward(apply_fn, dense, outputs, train):
     return default_forward(apply_fn, dense, outputs, train)
 
 
+class TieredPredictor(Predictor):
+    """Serving for models LARGER than device HBM: only the hottest
+    ``device_row_budget`` rows per table live in the device table; the
+    cold tail stays in a host-DRAM store (``HostKV``) and is consulted
+    per request — the reference's CPU-resident EV serving through the
+    Triton shim (triton/tensorflow_backend_tf.cc: sessions read EVs
+    straight from PS/worker DRAM; cold rows never need accelerator
+    residency).
+
+    Request path: ids are packed on host, the (host-known) device-resident
+    set is subtracted, misses batch-probe the host store, and the hits
+    ride into the jitted predict as a per-request staging buffer — one
+    extra [M, dim] transfer, no recompilation (staging is padded to
+    power-of-two buckets). Keys in neither store read their deterministic
+    init row, exactly like the all-HBM predictor.
+    """
+
+    def __init__(self, model, numeric_columns, collections, ckpt_dir,
+                 device_row_budget: int, forward=None):
+        self.device_row_budget = int(device_row_budget)
+        self.host_store: Dict[str, Any] = {}
+        self._device_keys: Dict[str, np.ndarray] = {}  # sorted int64
+        super().__init__(model, numeric_columns, collections, ckpt_dir,
+                         forward=forward)
+
+    # -- loading ----------------------------------------------------------
+    @staticmethod
+    def _merge_by_key(parts):
+        """Concatenate row dicts; on duplicate keys the LAST occurrence
+        wins (parts are ordered oldest-first, and within one save tier
+        rows precede device rows)."""
+        keys = np.concatenate([p["keys"] for p in parts])
+        vals = np.concatenate([p["values"] for p in parts])
+        freqs = np.concatenate([p["freqs"] for p in parts])
+        vers = np.concatenate([p["versions"] for p in parts])
+        # stable last-wins dedup
+        order = np.arange(len(keys))
+        srt = np.lexsort((order, keys))
+        ks = keys[srt]
+        last = np.r_[ks[1:] != ks[:-1], True]
+        sel = srt[last]
+        return keys[sel], vals[sel], freqs[sel], vers[sel]
+
+    def _split_hot(self, coll, keys, vals, freqs, vers):
+        """Hot set = top rows by (freq, version) under the budget."""
+        n = len(keys)
+        b = self.device_row_budget
+        if n <= b:
+            hot = np.ones(n, bool)
+        else:
+            rank = np.lexsort((vers, freqs))  # ascending coldness last
+            hot = np.zeros(n, bool)
+            hot[rank[n - b:]] = True
+        return hot
+
+    def _load_base(self, manifest):
+        from ..utils.native import HostKV
+        for name, coll in self.collections.items():
+            arrays = F.read_table(manifest["path"], name)
+            tier = self._tier_arrays(coll, manifest, name)
+            parts = ([tier] if tier else []) + [arrays]
+            keys, vals, freqs, vers = self._merge_by_key(parts)
+            hot = self._split_hot(coll, keys, vals, freqs, vers)
+
+            cap = needed_capacity(int(hot.sum()) + 8,
+                                  min(coll.config.capacity, 256))
+            if cap != coll.config.capacity:
+                coll.config = dataclasses.replace(coll.config, capacity=cap)
+            st = ev.create(coll.config)
+            slot = self._noopt.init(st.values)
+            st, _ = _scatter_table(st, slot, self._noopt, coll.config, {
+                "keys": keys[hot], "values": vals[hot],
+                "freqs": freqs[hot], "versions": vers[hot],
+                "create_steps": vers[hot],
+            })
+            self.tables[name] = st
+            self._device_keys[name] = np.sort(keys[hot])
+            kv = HostKV(vals.shape[1])
+            if (~hot).any():
+                kv.upsert(keys[~hot], vals[~hot].astype(np.float32))
+            self.host_store[name] = kv
+        self._load_dense(manifest)
+        self._applied_steps.add(manifest["step"])
+        self._jit_predict = None
+
+    def _apply_save(self, manifest):
+        """Incremental refresh: device-resident keys update in place; all
+        other rows upsert the host store (no promotion at refresh — the
+        hot set is re-ranked at the next full load)."""
+        if manifest["step"] in self._applied_steps:
+            return
+        for name, coll in self.collections.items():
+            arrays = F.read_table(manifest["path"], name)
+            tier = self._tier_arrays(coll, manifest, name)
+            parts = ([tier] if tier else []) + [arrays]
+            keys, vals, freqs, vers = self._merge_by_key(parts)
+            dk = self._device_keys[name]
+            pos = np.searchsorted(dk, keys)
+            pos_safe = np.minimum(pos, max(len(dk) - 1, 0))
+            on_dev = (len(dk) > 0) & (pos < len(dk)) & (dk[pos_safe] == keys)
+            if on_dev.any():
+                st = self.tables[name]
+                slot = self._noopt.init(st.values)
+                st, _ = _scatter_table(st, slot, self._noopt, coll.config, {
+                    "keys": keys[on_dev], "values": vals[on_dev],
+                    "freqs": freqs[on_dev], "versions": vers[on_dev],
+                    "create_steps": vers[on_dev],
+                })
+                self.tables[name] = st
+            if (~on_dev).any():
+                self.host_store[name].upsert(
+                    keys[~on_dev], vals[~on_dev].astype(np.float32))
+        self._load_dense(manifest)
+        self.params = None
+        self._applied_steps.add(manifest["step"])
+
+    # -- inference --------------------------------------------------------
+    def _stage_for(self, name, coll, flat_ids: np.ndarray):
+        """(stage_idx [N] int32, staging [M_pad, dim] f32): host-store rows
+        for ids absent from the device table, padded to a pow2 bucket."""
+        dim = self.tables[name].values.shape[1]
+        uniq, inv = np.unique(flat_ids, return_inverse=True)
+        dk = self._device_keys[name]
+        pos = np.searchsorted(dk, uniq)
+        pos_safe = np.minimum(pos, max(len(dk) - 1, 0))
+        on_dev = (len(dk) > 0) & (pos < len(dk)) & (dk[pos_safe] == uniq)
+        need = ~on_dev & (uniq != -1)
+        sidx_u = np.full(len(uniq), -1, np.int32)
+        rows = np.zeros((0, dim), np.float32)
+        if need.any():
+            ids = uniq[need]
+            payload, found = self.host_store[name].lookup(ids)
+            m = int(found.sum())
+            if m:
+                sidx = np.full(len(ids), -1, np.int32)
+                sidx[found] = np.arange(m, dtype=np.int32)
+                sidx_u[need] = sidx
+                rows = payload[found].astype(np.float32)
+        m_pad = max(8, 1 << (max(len(rows) - 1, 0)).bit_length())
+        pad = np.zeros((m_pad, dim), np.float32)
+        pad[:len(rows)] = rows
+        return sidx_u[inv].astype(np.int32), pad
+
+    def _predict_fn(self, params, tables, dense, cats, stage_idx, staging):
+        if dense is not None:
+            dense = normalize_dense(self.numeric_columns, dense)
+        outputs = {}
+        from ..sparse import keys as K
+        for name, coll in self.collections.items():
+            aux, urows = _readonly_lookup(coll, tables[name], cats[name])
+            a = aux.ev_aux
+            rows = urows[a.uniq.inverse]
+            valid = (~K.is_empty(a.uniq.ukeys))[a.uniq.inverse]
+            si = stage_idx[name]
+            srows = staging[name][:, : rows.shape[1]].astype(rows.dtype)
+            rows = jnp.where((si >= 0)[:, None],
+                             srows[jnp.maximum(si, 0)], rows)
+            outputs[name] = (coll.embeddings_from_rows(rows, valid),
+                             coll.sequence_embeddings_from_rows(rows, valid))
+        fwd = self.forward or _default_forward
+        import functools
+        out = fwd(functools.partial(self.model.apply, params),
+                  dense, outputs, False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jax.nn.sigmoid(logits)
+
+    def predict(self, batch) -> np.ndarray:
+        dense, cats, _ = self._prepare(batch)
+        stage_idx, staging = {}, {}
+        for name, coll in self.collections.items():
+            flat = coll.pack_ids_np(batch).reshape(-1)
+            si, srows = self._stage_for(name, coll, flat)
+            stage_idx[name] = jnp.asarray(si)
+            staging[name] = jnp.asarray(srows)
+        if self.params is None:
+            self._materialize_params(batch)
+        if self._jit_predict is None:
+            self._jit_predict = jax.jit(self._predict_fn)
+        return np.asarray(self._jit_predict(self.params, self.tables,
+                                            dense, cats, stage_idx, staging))
+
+    def host_rows(self, name: str) -> int:
+        kv = self.host_store.get(name)
+        return len(kv) if kv else 0
+
+
 class ShardedPredictor(Predictor):
     """Serving for tables larger than one chip's HBM: the checkpoint is
     restored ROW-SHARDED over a device mesh (the same owner-hash routing as
