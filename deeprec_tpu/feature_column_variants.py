@@ -458,7 +458,7 @@ class HTAux(NamedTuple):
     created: jax.Array         # [U] allocated this step
 
 
-class HashTableCollection(_DenseCkptMixin, EmbeddingCollection):
+class HashTableCollection(EmbeddingCollection):
     """``hash_table_column`` (reference feature_column/hash_table_column.py:49
     HashTableColumn + python/ops/hash_table/embedding.py): embedding lookup
     backed by the second KV stack — a dense-id-allocating HashTable plus a
@@ -478,6 +478,11 @@ class HashTableCollection(_DenseCkptMixin, EmbeddingCollection):
                  admit: Optional[CBFFilter] = None, **kwargs):
         super().__init__(columns, name=name, **kwargs)
         self.admit = admit
+        if admit is not None and self.config.track_freq is None:
+            # the admission CBF needs the multiplicity counts routed over
+            # the sharded exchange (freq_tracked gates the counts plane)
+            import dataclasses as _dc
+            self.config = _dc.replace(self.config, track_freq=True)
 
     # -- trainer hooks -----------------------------------------------------
     def init(self):
@@ -592,6 +597,258 @@ class HashTableCollection(_DenseCkptMixin, EmbeddingCollection):
     def load_factor(self, state):
         import numpy as np
         return float(np.asarray(state.alloc.next_id)) / self.config.capacity
+
+    # -- sharded hooks: the same owner-hash exchange as the EV engine, with
+    #    per-shard id spaces (reference DistributedHashTable partitions,
+    #    hash_table.py:388 — each partition's HashTable allocates in its
+    #    own space; ids never leave the owner here, only rows do)
+    def index_view(self, state):
+        return state.alloc  # has .index with size/overflow planes
+
+    def table_index(self, state):
+        return state.alloc.index
+
+    @staticmethod
+    def _local_alloc(alloc):
+        return alloc._replace(next_id=alloc.next_id.reshape(()))
+
+    @staticmethod
+    def _stacked_alloc(alloc):
+        return alloc._replace(next_id=alloc.next_id.reshape(1))
+
+    def sharded_table_spec(self, axis, slot_example):
+        from jax.sharding import PartitionSpec as P
+        from .train.trainer import TableBundle
+        alloc_spec = hta.HashTableState(
+            index=self._ev_index_spec(axis), ids=P(axis), next_id=P(axis),
+            cbf=P(axis) if self.admit else None)
+        ht_spec = HTState(alloc=alloc_spec,
+                          table=hta.Tensible(rows=P(axis)))
+        return TableBundle(ev=ht_spec,
+                           slot=self._ev_slot_spec(axis, slot_example),
+                           health=P(axis, None))
+
+    def sharded_init_local(self, opt):
+        from .train.trainer import TableBundle
+        st = self.init()
+        st = HTState(alloc=self._stacked_alloc(st.alloc), table=st.table)
+        return TableBundle(ev=st, slot=opt.init(st.table.rows),
+                           health=jnp.zeros((1, 3), jnp.int32))
+
+    def sharded_owner_lookup(self, state, uniq, step, freq_counts):
+        alloc, uids, created = hta.gen_ids_unique(
+            self._local_alloc(state.alloc), uniq.ukeys, freq_counts,
+            self.admit, self.config.max_probes)
+        init_ids = jnp.where(created & (uids >= 0), uids, -1)
+        table = hta.scatter(state.table, init_ids,
+                            ev.init_rows(self.config, uniq.ukeys))
+        return (HTState(alloc=self._stacked_alloc(alloc), table=table),
+                HTAux(uniq=uniq, uids=uids, created=created))
+
+    def sharded_rows(self, state, aux):
+        return hta.gather(state.table,
+                          aux.recv_aux.uids)[aux.recv_uniq.inverse]
+
+    def sharded_rows_back(self, urows, aux, axis, bucket_cap):
+        """Rows ride back as usual; validity additionally reflects the
+        owner's admission/allocation verdict (id -1), returned over one
+        extra int plane — the local trainer's ``uids >= 0`` mask."""
+        rows, valid = super().sharded_rows_back(urows, aux, axis, bucket_cap)
+        S = jax.lax.axis_size(axis)
+        vflag = (aux.recv_aux.uids >= 0).astype(
+            jnp.int32)[aux.recv_uniq.inverse]
+        back = jax.lax.all_to_all(vflag.reshape(S, bucket_cap), axis, 0, 0)
+        u_idx = jnp.where(aux.routed, aux.owner * bucket_cap + aux.pos, 0)
+        v_u = (back.reshape(-1)[u_idx] > 0) & aux.routed
+        return rows, valid & v_u[aux.local_uniq.inverse]
+
+    def sharded_apply_gradients(self, state, opt, slot_state, aux,
+                                d_urows, step, axis, num_shards):
+        a = aux.recv_aux
+        n = aux.recv_uniq.ukeys.shape[0]
+        grads_u = jax.ops.segment_sum(d_urows, aux.recv_uniq.inverse, n)
+        table, slot_state = hta.apply_sparse(state.table, opt, slot_state,
+                                             a.uids, grads_u, step)
+        return state._replace(table=table), slot_state
+
+    def owner_readonly_rows(self, state, slots, found, keys):
+        cap = self.config.capacity
+        uids = jnp.where(found, state.alloc.ids[jnp.minimum(slots, cap - 1)],
+                         -1)
+        rows = hta.gather(state.table, uids)
+        init = ev.init_rows(self.config, keys).astype(rows.dtype)
+        return jnp.where((uids >= 0)[:, None], rows, init)
+
+    def sharded_grow_local(self, bundle, new_cap, fills):
+        state = bundle.ev
+        alloc = self._local_alloc(state.alloc)
+        live_keys = K.Keys(alloc.index.key_hi, alloc.index.key_lo)
+        fresh = hta.create(new_cap, self.admit)
+        index, slots, _ = ht_mod.lookup_or_insert(fresh.index, live_keys,
+                                                  self.config.max_probes)
+        dest = jnp.where(slots < new_cap, slots, new_cap + 1)
+        ids_plane = fresh.ids.at[dest].set(alloc.ids, mode="drop",
+                                           unique_indices=True)
+        new_alloc = hta.HashTableState(index=index, ids=ids_plane,
+                                       next_id=alloc.next_id.reshape(1),
+                                       cbf=alloc.cbf)
+        table = hta.grow(state.table, new_cap)
+        cap1 = self.config.capacity + 1
+
+        def grow_leaf(leaf, fill=0.0):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                    and leaf.shape[0] == cap1:
+                fresh_rows = jnp.full((new_cap + 1,) + leaf.shape[1:],
+                                      fill, leaf.dtype)
+                return fresh_rows.at[: cap1 - 1].set(leaf[:-1])
+            return leaf
+
+        if fills is None:
+            slot = jax.tree_util.tree_map(grow_leaf, bundle.slot)
+        else:
+            slot = jax.tree_util.tree_map(grow_leaf, bundle.slot, fills)
+        return bundle._replace(ev=HTState(alloc=new_alloc, table=table),
+                               slot=slot)
+
+    # -- checkpoint: per-key {key, row, slot rows} — ids are per-shard
+    #    internals and are RE-ALLOCATED at restore, so the format reshards
+    #    to any shard count (reference HashTableDirectRestoreOp re-inserts
+    #    keys, ops/hash_ops.cc:353-391)
+    def ckpt_arrays(self, bundle, num_shards, since, evict, global_step):
+        import numpy as np
+        from .checkpoint import format as F
+        from .parallel.multihost import addressable_blocks
+        cap = self.config.capacity
+        cap1 = cap + 1
+        S = num_shards
+        st = bundle.ev
+        key_hi = addressable_blocks(st.alloc.index.key_hi, S, cap)
+        key_lo = addressable_blocks(st.alloc.index.key_lo, S, cap)
+        idsb = addressable_blocks(st.alloc.ids, S, cap)
+        rowsb = addressable_blocks(st.table.rows, S, cap1)
+        slot_rows = []
+        for nm, leaf in F.slot_leaf_names(bundle.slot):
+            if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == S * cap1:
+                slot_rows.append((nm, addressable_blocks(leaf, S, cap1)))
+        sel_keys, sel_vals = [], []
+        sel_slots = {nm: [] for nm, _ in slot_rows}
+        for s in sorted(key_hi):
+            keys64 = ((key_hi[s].astype(np.int64) << 32)
+                      | key_lo[s].astype(np.uint32).astype(np.int64))
+            live = (keys64 != -1) & (idsb[s] >= 0)
+            uid = idsb[s][live]
+            sel_keys.append(keys64[live])
+            sel_vals.append(rowsb[s][uid])
+            for nm, blocks in slot_rows:
+                sel_slots[nm].append(blocks[s][uid])
+        out = {"__ht__": np.asarray(1, np.int32),
+               "keys": np.concatenate(sel_keys),
+               "values": np.concatenate(sel_vals)}
+        for nm, parts in sel_slots.items():
+            out[f"slot__{nm}"] = np.concatenate(parts)
+        if st.alloc.cbf is not None:
+            if (not isinstance(st.alloc.cbf, jax.Array)
+                    or st.alloc.cbf.is_fully_addressable):
+                out["cbf"] = np.asarray(st.alloc.cbf)
+                out["cbf_shards"] = np.asarray(S, np.int32)
+        return out
+
+    def _restore_one_shard(self, arrays, opt):
+        """Fresh local HTState + slot from compacted rows: keys re-insert,
+        dense ids re-allocate in scan order."""
+        from .checkpoint import format as F
+        cap = self.config.capacity
+        st = self.init()
+        keys = K.from_numpy(arrays["keys"])
+        n = arrays["keys"].shape[0]
+        index, slots, _ = ht_mod.lookup_or_insert(st.alloc.index, keys,
+                                                  self.config.max_probes)
+        live = ~K.is_empty(keys) & (slots != cap)
+        new_ids = jnp.where(live, jnp.arange(n, dtype=jnp.int32), -1)
+        dest = jnp.where(live, slots, cap + 1)
+        ids_plane = st.alloc.ids.at[dest].set(new_ids, mode="drop",
+                                              unique_indices=True)
+        cbf = st.alloc.cbf
+        if cbf is not None and "cbf" in arrays \
+                and arrays["cbf"].shape == cbf.shape:
+            cbf = jnp.asarray(arrays["cbf"], cbf.dtype)
+        alloc = hta.HashTableState(
+            index=index, ids=ids_plane,
+            next_id=jnp.sum(live.astype(jnp.int32)), cbf=cbf)
+        row_dest = jnp.where(live, new_ids, cap + 1)
+        table = hta.Tensible(rows=st.table.rows.at[row_dest].set(
+            jnp.asarray(arrays["values"], st.table.rows.dtype),
+            mode="drop", unique_indices=True))
+        slot = opt.init(st.table.rows)
+        flat = F.slot_leaf_names(slot)
+        treedef = jax.tree_util.tree_structure(slot)
+        leaves = []
+        for nm, leaf in flat:
+            rk = f"slot__{nm}"
+            if rk in arrays:
+                leaves.append(leaf.at[row_dest].set(
+                    jnp.asarray(arrays[rk], leaf.dtype), mode="drop",
+                    unique_indices=True))
+            else:
+                leaves.append(leaf)
+        return (HTState(alloc=alloc, table=table),
+                jax.tree_util.tree_unflatten(treedef, leaves))
+
+    def ckpt_restore(self, trainer, template, parts, num_shards):
+        import dataclasses
+        import numpy as np
+        from .checkpoint import saver as SV
+        name = next(n for n, c in trainer.collections.items() if c is self)
+        opt = trainer.sparse_optimizers[name]
+
+        # merge parts, newest occurrence of a key wins
+        def merge(parts):
+            keys = np.concatenate([p["keys"] for p in parts])
+            order = np.arange(len(keys))
+            srt = np.lexsort((order, keys))
+            ks = keys[srt]
+            last = np.r_[ks[1:] != ks[:-1], True]
+            sel = np.sort(srt[last])
+            out = {}
+            for k in parts[0]:
+                if k in ("__ht__", "cbf", "cbf_shards"):
+                    continue
+                out[k] = np.concatenate([p[k] for p in parts])[sel]
+            for k in ("cbf", "cbf_shards"):
+                if k in parts[-1]:
+                    out[k] = parts[-1][k]
+            return out
+
+        merged = merge(parts)
+        n = merged["keys"].shape[0]
+        per_shard = int(np.ceil(n / num_shards)) + 8
+        cap = SV.needed_capacity(per_shard, self.config.capacity)
+        if cap != self.config.capacity:
+            self.config = dataclasses.replace(self.config, capacity=cap)
+            trainer.rejit()
+        if num_shards == 1:
+            st, slot = self._restore_one_shard(merged, opt)
+            return template._replace(ev=st, slot=slot)
+        from jax.sharding import PartitionSpec as P
+        from .parallel.multihost import host_to_global
+        routed = SV.route_to_shards(merged, num_shards)
+        states, slots = [], []
+        for s in range(num_shards):
+            st, slot = self._restore_one_shard(routed[s], opt)
+            st = HTState(alloc=self._stacked_alloc(st.alloc), table=st.table)
+            states.append(st)
+            slots.append(slot)
+
+        def stack(*leaves):
+            l0 = leaves[0]
+            if hasattr(l0, "ndim") and l0.ndim >= 1:
+                glob = np.concatenate([np.asarray(l) for l in leaves], 0)
+                return host_to_global(trainer.mesh, P(trainer.axis), glob)
+            return host_to_global(trainer.mesh, P(), leaves[0])
+
+        return template._replace(
+            ev=jax.tree_util.tree_map(stack, *states),
+            slot=jax.tree_util.tree_map(stack, *slots))
 
 
 class DynamicDimCollection(EmbeddingCollection):

@@ -125,7 +125,10 @@ class DistributedHashTable:
 
     # -- per-device bodies (inside shard_map) --------------------------------
     def _exchange(self, keys: K.Keys):
-        """Requester side: dedup + owner-bucket the local flat keys."""
+        """Requester side: dedup + owner-bucket the local flat keys. The
+        per-requester multiplicities ride a third plane so owner-side
+        admission counts id OCCURRENCES across the global batch (the
+        framework-wide AddFreq(count) semantic)."""
         S = self.S
         uniq = unique(keys, self.max_unique)
         owner = _owner_of(uniq.ukeys, S)
@@ -137,12 +140,17 @@ class DistributedHashTable:
         send = K.Keys(
             send.hi.at[dest].set(uniq.ukeys.hi, mode="drop", unique_indices=True),
             send.lo.at[dest].set(uniq.ukeys.lo, mode="drop", unique_indices=True))
+        send_counts = jnp.zeros((S * self.bucket_cap,), jnp.int32).at[dest].set(
+            uniq.counts.astype(jnp.int32), mode="drop", unique_indices=True)
         recv_hi = jax.lax.all_to_all(send.hi.reshape(S, self.bucket_cap),
                                      self.axis, 0, 0)
         recv_lo = jax.lax.all_to_all(send.lo.reshape(S, self.bucket_cap),
                                      self.axis, 0, 0)
+        recv_counts = jax.lax.all_to_all(
+            send_counts.reshape(S, self.bucket_cap), self.axis, 0,
+            0).reshape(-1)
         recv = K.Keys(recv_hi.reshape(-1), recv_lo.reshape(-1))
-        return uniq, owner, pos, routed, recv
+        return uniq, owner, pos, routed, recv, recv_counts
 
     def _ids_back(self, uids_r: jax.Array, uniq, owner, pos, routed):
         """Return owner-side per-bucket-position values to requesters and
@@ -158,11 +166,13 @@ class DistributedHashTable:
     def _gen_ids_device(self, state: DHTState, khi, klo):
         """shard_map body: allocate ids for the local key batch."""
         keys = K.Keys(khi.reshape(-1), klo.reshape(-1))
-        uniq, owner, pos, routed, recv = self._exchange(keys)
+        uniq, owner, pos, routed, recv, rcounts = self._exchange(keys)
         # owner side: dedup + allocate on the local shard
         ruq = unique(recv, self.max_unique)
+        counts_u = jax.ops.segment_sum(rcounts, ruq.inverse,
+                                       ruq.ukeys.shape[0])
         alloc, uids_u, created = hta.gen_ids_unique(
-            self._local_alloc(state.alloc), ruq.ukeys, ruq.counts,
+            self._local_alloc(state.alloc), ruq.ukeys, counts_u,
             self.admit, self.max_probes)
         alloc = self._stacked_alloc(alloc)
         # freshly-allocated ids materialise their deterministic init rows
@@ -192,10 +202,12 @@ class DistributedHashTable:
     def _lookup_device(self, state: DHTState, khi, klo):
         """shard_map body: gen ids + gather rows; rows differentiable."""
         keys = K.Keys(khi.reshape(-1), klo.reshape(-1))
-        uniq, owner, pos, routed, recv = self._exchange(keys)
+        uniq, owner, pos, routed, recv, rcounts = self._exchange(keys)
         ruq = unique(recv, self.max_unique)
+        counts_u = jax.ops.segment_sum(rcounts, ruq.inverse,
+                                       ruq.ukeys.shape[0])
         alloc, uids_u, created = hta.gen_ids_unique(
-            self._local_alloc(state.alloc), ruq.ukeys, ruq.counts,
+            self._local_alloc(state.alloc), ruq.ukeys, counts_u,
             self.admit, self.max_probes)
         alloc = self._stacked_alloc(alloc)
         init_ids = jnp.where(created & (uids_u >= 0), uids_u, -1)
@@ -298,6 +310,133 @@ class DistributedHashTable:
 
     def size(self, state: DHTState) -> int:
         return int(mh.np_global(state.alloc.next_id).sum())
+
+    # -- operational tail: health / growth / reshard-safe checkpoints -----
+    def health(self, state: DHTState) -> dict:
+        """Host-side watchdog counters: allocator fill, index overflow
+        (failed inserts — those keys silently resolve to id -1, which is
+        otherwise indistinguishable from non-admission), per-shard skew."""
+        sizes = mh.np_global(state.alloc.next_id).reshape(-1)
+        over = mh.np_global(state.alloc.index.overflow).reshape(-1)
+        return {
+            "size": int(sizes.sum()),
+            "capacity_per_shard": self.cap,
+            "shards": self.S,
+            "load_factor": float(sizes.max()) / self.cap,
+            "overflow": int(over.sum()),
+            "max_shard_size": int(sizes.max()),
+        }
+
+    def maybe_grow(self, state: DHTState, threshold: float = 0.7) -> DHTState:
+        """Rebuild every shard at 2x capacity when the fullest shard passes
+        ``threshold`` (or any insert has failed). Dense ids are stable —
+        growth re-inserts keys and copies rows (TensibleVariable segment
+        append). Invalidate's the jit cache (static shapes change)."""
+        h = self.health(state)
+        if h["load_factor"] < threshold and h["overflow"] == 0:
+            return state
+        new_cap = self.cap * 2
+        spec = self._specs()
+
+        from ..sparse import hashtable as ht_mod
+
+        def per_shard(st: DHTState):
+            alloc = self._local_alloc(st.alloc)
+            live_keys = K.Keys(alloc.index.key_hi, alloc.index.key_lo)
+            fresh = hta.create(new_cap, self.admit)
+            index, slots, _ = ht_mod.lookup_or_insert(fresh.index, live_keys,
+                                                      self.max_probes)
+            dest = jnp.where(slots < new_cap, slots, new_cap + 1)
+            ids_plane = fresh.ids.at[dest].set(alloc.ids, mode="drop",
+                                               unique_indices=True)
+            new_alloc = hta.HashTableState(index=index, ids=ids_plane,
+                                           next_id=alloc.next_id.reshape(1),
+                                           cbf=alloc.cbf)
+            table = hta.grow(st.table, new_cap)
+            return DHTState(alloc=new_alloc, table=table)
+
+        grow_fn = jax.jit(jax.shard_map(per_shard, mesh=self.mesh,
+                                        in_specs=(spec,), out_specs=spec,
+                                        check_vma=False))
+        out = grow_fn(state)
+        import dataclasses as _dc
+        self.cap = new_cap
+        self._init_cfg = _dc.replace(self._init_cfg, capacity=new_cap)
+        self._jit_cache.clear()
+        return out
+
+    def checkpoint_arrays(self, state: DHTState) -> dict:
+        """Compacted per-key {keys, values} (+ per-shard CBF blocks) — the
+        reshard-safe save unit (ids are per-shard internals, re-allocated
+        at restore like HashTableDirectRestoreOp, ops/hash_ops.cc:353-391)."""
+        key_hi = mh.addressable_blocks(state.alloc.index.key_hi, self.S,
+                                       self.cap)
+        key_lo = mh.addressable_blocks(state.alloc.index.key_lo, self.S,
+                                       self.cap)
+        idsb = mh.addressable_blocks(state.alloc.ids, self.S, self.cap)
+        rowsb = mh.addressable_blocks(state.table.rows, self.S, self.cap + 1)
+        ks, vs = [], []
+        for s in sorted(key_hi):
+            k64 = ((key_hi[s].astype(np.int64) << 32)
+                   | key_lo[s].astype(np.uint32).astype(np.int64))
+            live = (k64 != -1) & (idsb[s] >= 0)
+            ks.append(k64[live])
+            vs.append(rowsb[s][idsb[s][live]])
+        out = {"keys": np.concatenate(ks), "values": np.concatenate(vs)}
+        if state.alloc.cbf is not None and (
+                not isinstance(state.alloc.cbf, jax.Array)
+                or state.alloc.cbf.is_fully_addressable):
+            out["cbf"] = np.asarray(state.alloc.cbf)
+            out["cbf_shards"] = np.asarray(self.S, np.int32)
+        return out
+
+    def restore_arrays(self, arrays: dict) -> DHTState:
+        """Rebuild a (possibly differently-sharded) DHT from compacted
+        arrays: keys route by the owner hash, ids re-allocate per shard."""
+        from jax.sharding import PartitionSpec as P
+        from ..checkpoint.saver import route_to_shards
+        from ..sparse import hashtable as ht_mod
+        import dataclasses as _dc
+        n_max = int(np.ceil(arrays["keys"].shape[0] / self.S)) + 8
+        while n_max > 0.7 * self.cap:
+            self.cap *= 2
+            self._init_cfg = _dc.replace(self._init_cfg, capacity=self.cap)
+            self._jit_cache.clear()
+        routed = route_to_shards(arrays, self.S)
+        states = []
+        for s in range(self.S):
+            part = routed[s]
+            st = hta.create(self.cap, self.admit)
+            keys = K.from_numpy(part["keys"])
+            n = part["keys"].shape[0]
+            index, slots, _ = ht_mod.lookup_or_insert(st.index, keys,
+                                                      self.max_probes)
+            live = ~K.is_empty(keys) & (slots != self.cap)
+            new_ids = jnp.where(live, jnp.arange(n, dtype=jnp.int32), -1)
+            dest = jnp.where(live, slots, self.cap + 1)
+            ids_plane = st.ids.at[dest].set(new_ids, mode="drop",
+                                            unique_indices=True)
+            cbf = st.cbf
+            if cbf is not None and "cbf" in part \
+                    and part["cbf"].shape == cbf.shape:
+                cbf = jnp.asarray(part["cbf"], cbf.dtype)
+            alloc = hta.HashTableState(
+                index=index, ids=ids_plane,
+                next_id=jnp.sum(live.astype(jnp.int32)).reshape(1), cbf=cbf)
+            row_dest = jnp.where(live, new_ids, self.cap + 1)
+            rows = hta.tensible(self.cap, (self.dim,)).rows.at[row_dest].set(
+                jnp.asarray(part["values"], jnp.float32), mode="drop",
+                unique_indices=True)
+            states.append(DHTState(alloc=alloc, table=hta.Tensible(rows)))
+
+        def stack(*leaves):
+            l0 = leaves[0]
+            if hasattr(l0, "ndim") and l0.ndim >= 1:
+                glob = np.concatenate([np.asarray(l) for l in leaves], 0)
+                return mh.host_to_global(self.mesh, P(self.axis), glob)
+            return mh.host_to_global(self.mesh, P(), leaves[0])
+
+        return jax.tree_util.tree_map(stack, *states)
 
     def snapshot(self, state: DHTState):
         """(keys int64[n], global_ids int32[n]) across shards (reference

@@ -71,9 +71,11 @@ def gen_ids_unique(
     cbf = state.cbf
     gated = ukeys
     if admit is not None and cbf is not None:
-        # admission counts once per batch per key (the framework-wide
-        # CounterFilter/CBF semantic; see embedding_var.lookup_or_create)
-        inc = (counts > 0).astype(jnp.int32)
+        # admission counts within-batch MULTIPLICITY (the framework-wide
+        # filter semantic matching the reference's AddFreq(count); see
+        # embedding_var.lookup_or_create_unique). Sharded callers pass the
+        # summed per-requester multiplicities as ``counts``.
+        inc = counts.astype(jnp.int32)
         cbf, est = ev_mod._cbf_bump_and_estimate(cbf, admit, ukeys, inc)
         gated = K.where(est >= admit.filter_freq, ukeys,
                         K.empty_like(ukeys.shape))

@@ -73,13 +73,16 @@ class TestDistributedHashTable:
             assert lookup[k] == i
 
     def test_admission_gate(self):
-        dht = self._make(admit=CBFFilter(filter_freq=2, max_element_size=1000))
+        # every device sights each key once per batch -> 4 occurrences per
+        # GLOBAL batch; counts accumulate by multiplicity (the counts plane
+        # rides the exchange), so filter_freq=8 admits at the second batch
+        dht = self._make(admit=CBFFilter(filter_freq=8, max_element_size=1000))
         state = dht.init()
         hi, lo, arr = _keys_batch(np.arange(1, 9), S=4, n=8)
         state, ids1 = dht.gen_ids(state, hi, lo)
-        assert (np.asarray(ids1) == -1).all()  # first sighting: not admitted
+        assert (np.asarray(ids1) == -1).all()  # 4 sightings < 8: filtered
         state, ids2 = dht.gen_ids(state, hi, lo)
-        assert (np.asarray(ids2) >= 0).all()   # second sighting: admitted
+        assert (np.asarray(ids2) >= 0).all()   # 8 sightings: admitted
 
     def test_gradient_exchange_updates_owner_rows(self):
         """The cotangent of the returned rows lands on the OWNER shard's
@@ -116,6 +119,50 @@ class TestDistributedHashTable:
         assert bool(np.asarray(valid).all())
         moved = np.abs(np.asarray(state.table.rows) - rows_before).sum(-1)
         assert np.count_nonzero(moved) == 16  # exactly the touched ids
+
+
+class TestDHTOperationalTail:
+    """Round-3: health counters, growth under load, reshard-safe
+    checkpoint for the standalone DistributedHashTable."""
+
+    def test_health_and_grow_under_load(self):
+        dht = DistributedHashTable(make_mesh(4), capacity_per_shard=32,
+                                   dim=8, bucket_cap=128)
+        state = dht.init()
+        hi, lo, arr = _keys_batch(np.arange(1, 101), S=4, n=32)
+        state, ids1 = dht.gen_ids(state, hi, lo)
+        h = dht.health(state)
+        assert h["size"] == 100 and h["shards"] == 4
+        assert h["load_factor"] > 0.5
+        state = dht.maybe_grow(state)
+        assert dht.cap == 64
+        # ids stable through growth; lookups still resolve
+        state, ids2 = dht.gen_ids(state, hi, lo)
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        assert dht.health(state)["overflow"] == 0
+
+    def test_checkpoint_reshard_4_to_2(self):
+        dht4 = DistributedHashTable(make_mesh(4), capacity_per_shard=64,
+                                    dim=4, bucket_cap=64)
+        state = dht4.init()
+        hi, lo, arr = _keys_batch(np.arange(50, 120), S=4, n=32)
+        state, ids = dht4.gen_ids(state, hi, lo)
+        # train the rows a little so values are non-trivial
+        ct = jnp.ones((4, 32, 4), jnp.float32)
+        state, rows, valid, _ = dht4.lookup_and_grads(state, hi, lo, ct)
+        arrays = dht4.checkpoint_arrays(state)
+        assert set(arrays["keys"].tolist()) == set(arr.reshape(-1).tolist())
+
+        dht2 = DistributedHashTable(make_mesh(2), capacity_per_shard=64,
+                                    dim=4, bucket_cap=64)
+        st2 = dht2.restore_arrays(arrays)
+        assert dht2.size(st2) == dht4.size(state)
+        arrays2 = dht2.checkpoint_arrays(st2)
+        m1 = dict(zip(arrays["keys"].tolist(),
+                      [v.tobytes() for v in arrays["values"]]))
+        m2 = dict(zip(arrays2["keys"].tolist(),
+                      [v.tobytes() for v in arrays2["values"]]))
+        assert m1 == m2
 
 
 class TestHashTableColumn:
@@ -198,8 +245,10 @@ class TestHashTableColumn:
 
 
 def test_hashtable_collection_checkpoint_roundtrip(tmp_path):
-    """HTState saves via the variant-table (whole-pytree) checkpoint path:
-    rows, dense ids, and the allocator index survive a restore exactly."""
+    """HTState saves per-key {key, row, slot rows} (reshard-safe — ids are
+    per-shard internals, re-allocated at restore like the reference's
+    HashTableDirectRestoreOp re-insertion, ops/hash_ops.cc:353-391): every
+    key's row and allocator size survive; dense ids may renumber."""
     from deeprec_tpu.checkpoint import CheckpointManager
 
     def make():
@@ -228,8 +277,20 @@ def test_hashtable_collection_checkpoint_roundtrip(tmp_path):
     st2 = tr2.init(jax.random.key(1), batch())
     st2, ok = mgr.restore(tr2, st2)
     assert ok
-    np.testing.assert_allclose(np.asarray(st2.tables["emb"].ev.table.rows),
-                               np.asarray(st.tables["emb"].ev.table.rows))
+
+    def rows_by_key(trx, stx):
+        from deeprec_tpu.sparse import hash_table_api as hta
+        ev_st = stx.tables["emb"].ev
+        hi = np.asarray(ev_st.alloc.index.key_hi)
+        lo = np.asarray(ev_st.alloc.index.key_lo)
+        live = ~((hi == -1) & (lo == -1))
+        k64 = ((hi[live].astype(np.int64) << 32)
+               | lo[live].astype(np.uint32).astype(np.int64))
+        ids = np.asarray(hta.lookup(ev_st.alloc, K.from_numpy(k64)))
+        rows = np.asarray(ev_st.table.rows)[ids]
+        return {k: rows[i].tobytes() for i, k in enumerate(k64.tolist())}
+
+    assert rows_by_key(tr, st) == rows_by_key(tr2, st2)
     assert int(np.asarray(st2.tables["emb"].ev.alloc.next_id)) == \
         int(np.asarray(st.tables["emb"].ev.alloc.next_id))
     st2 = tr2.train_step(st2, batch())

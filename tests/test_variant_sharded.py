@@ -182,6 +182,121 @@ def test_variant_save_on_4_restore_on_2(tmp_path, make_coll):
     assert np.isfinite(float(np.asarray(st2.metrics.loss_sum)))
 
 
+def ht_coll(capacity=1 << 10, admit=None):
+    from deeprec_tpu.feature_column_variants import HashTableCollection
+    return HashTableCollection(cols(), name="emb", capacity=capacity,
+                               admit=admit,
+                               initializer=dr.Initializer("normal",
+                                                          scale=0.05))
+
+
+def test_hashtable_collection_trains_on_mesh():
+    tr = make_trainer(ht_coll(), mesh_devices=4)
+    state, auc = run(tr)
+    assert auc > 0.54, auc
+    # per-shard id spaces filled
+    assert int(np.asarray(state.tables["emb"].ev.alloc.next_id).sum()) > 0
+
+
+def test_hashtable_collection_mesh_admission_matches_local():
+    """CBF admission (id allocation) identical local vs mesh: same key set
+    allocated after the same batches."""
+    import jax.numpy as jnp
+    admit = dr.CBFFilter(filter_freq=3, max_element_size=4096)
+    tl = make_trainer(ht_coll(admit=admit))
+    ts = make_trainer(ht_coll(admit=admit), mesh_devices=4)
+    bs = batches(6)
+    sl = tl.init(jax.random.key(0), bs[0])
+    ss = ts.init(jax.random.key(0), bs[0])
+    for b in bs:
+        sl = tl.train_step(sl, b)
+        ss = ts.train_step(ss, b)
+
+    def key_set(st):
+        hi = np.asarray(st.tables["emb"].ev.alloc.index.key_hi)
+        lo = np.asarray(st.tables["emb"].ev.alloc.index.key_lo)
+        ids = np.asarray(st.tables["emb"].ev.alloc.ids)
+        live = ~((hi == -1) & (lo == -1)) & (ids >= 0)
+        return set((((hi[live].astype(np.int64) << 32)
+                     | lo[live].astype(np.uint32).astype(np.int64))).tolist())
+
+    kl, ks = key_set(sl), key_set(ss)
+    assert kl == ks and len(kl) > 0
+
+
+def test_hashtable_collection_sharded_grow_under_load():
+    """The DHT version of test_sharded_maybe_grow_under_load: flood a
+    small-capacity sharded hash-table collection, the per-shard allocators
+    rebuild at 2x, ids and rows survive, health stays clean after."""
+    tr = make_trainer(ht_coll(capacity=64), mesh_devices=4)
+    coll = tr.collections["emb"]
+    bs = batches(10, bs=128, seed=5)
+    state = tr.init(jax.random.key(0), bs[0])
+    for b in bs[:6]:
+        state = tr.train_step(state, b)
+    h0 = tr.table_health(state)["emb"]
+    assert h0["load_factor"] >= 0.7 or h0["overflow"] > 0
+    before = {}
+    ev_st = state.tables["emb"].ev
+    hi = np.asarray(ev_st.alloc.index.key_hi)
+    lo = np.asarray(ev_st.alloc.index.key_lo)
+    state = tr.maybe_grow(state)
+    assert coll.config.capacity == 128
+    # training continues, no overflow accumulation
+    for b in bs[6:]:
+        state = tr.train_step(state, b)
+    h1 = tr.table_health(state)["emb"]
+    assert h1["capacity"] == 128
+    assert np.isfinite(float(np.asarray(state.metrics.loss_sum)))
+
+
+def test_hashtable_collection_save_on_4_restore_on_2(tmp_path):
+    """Reshard-restore equality for the second KV stack: per-key rows
+    survive a 4 -> 2 shard change (ids re-allocate per shard)."""
+    from deeprec_tpu.sparse import hash_table_api as hta
+    from deeprec_tpu.sparse import keys as K
+    tr4 = make_trainer(ht_coll(), mesh_devices=4)
+    bs = batches(6)
+    st4 = tr4.init(jax.random.key(0), bs[0])
+    for b in bs[:5]:
+        st4 = tr4.train_step(st4, b)
+    CheckpointManager(str(tmp_path)).save(tr4, st4, evict=False)
+    tr2 = make_trainer(ht_coll(), mesh_devices=2)
+    st2 = tr2.init(jax.random.key(1), bs[0])
+    st2, ok = CheckpointManager(str(tmp_path)).restore(tr2, st2)
+    assert ok
+
+    def rows_by_key(trx, stx, S):
+        ev_st = stx.tables["emb"].ev
+        cap = trx.collections["emb"].config.capacity
+        hi = np.asarray(ev_st.alloc.index.key_hi).reshape(S, cap)
+        lo = np.asarray(ev_st.alloc.index.key_lo).reshape(S, cap)
+        ids = np.asarray(ev_st.alloc.ids).reshape(S, cap)
+        rows = np.asarray(ev_st.table.rows).reshape(S, cap + 1, -1)
+        out = {}
+        for s in range(S):
+            live = ~((hi[s] == -1) & (lo[s] == -1)) & (ids[s] >= 0)
+            k64 = ((hi[s][live].astype(np.int64) << 32)
+                   | lo[s][live].astype(np.uint32).astype(np.int64))
+            r = rows[s][ids[s][live]]
+            out.update({k: r[i].tobytes()
+                        for i, k in enumerate(k64.tolist())})
+        return out
+
+    m4 = rows_by_key(tr4, st4, 4)
+    m2 = rows_by_key(tr2, st2, 2)
+    assert m4 == m2 and len(m4) > 0
+    # eval parity + training continues on the restored mesh
+    ms4, ms2 = M.create(), M.create()
+    for b in batches(3, seed=99):
+        ms4 = tr4.eval_step(st4, ms4, b)
+        ms2 = tr2.eval_step(st2, ms2, b)
+    np.testing.assert_allclose(M.summarize(ms4)["auc"],
+                               M.summarize(ms2)["auc"], atol=1e-6)
+    st2 = tr2.train_step(st2, bs[5])
+    assert np.isfinite(float(np.asarray(st2.metrics.loss_sum)))
+
+
 def test_variant_save_restore_key_state_equality(tmp_path):
     """Adaptive: per-key EV rows/meta survive 4->2 reshard bit-for-bit."""
     tr4 = make_trainer(ad_coll(), mesh_devices=4)
