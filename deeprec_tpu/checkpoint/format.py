@@ -104,11 +104,12 @@ def write_save(path: str, manifest: Dict[str, Any],
     os.makedirs(tmp, exist_ok=True)
     suffix = "" if part is None else f".part{part:03d}"
     for name, arrays in tables.items():
-        np.savez(os.path.join(tmp, f"table-{name}{suffix}.npz"), **arrays)
+        np.savez(os.path.join(tmp, f"table-{name}{suffix}.npz"),
+                 **_encode_dtypes(arrays))
     primary = part is None or part == 0
     if primary:
-        np.savez(os.path.join(tmp, DENSE),
-                 **{f"d{i:05d}": leaf for i, leaf in enumerate(dense_leaves)})
+        np.savez(os.path.join(tmp, DENSE), **_encode_dtypes(
+            {f"d{i:05d}": leaf for i, leaf in enumerate(dense_leaves)}))
     if barrier is not None:
         barrier(f"write_save:{os.path.basename(path)}:parts")
     if primary:
@@ -128,9 +129,38 @@ def write_save(path: str, manifest: Dict[str, Any],
         barrier(f"write_save:{os.path.basename(path)}:done")
 
 
+# npz cannot represent ml_dtypes (bfloat16) natively: such arrays ride as
+# uint16 bit patterns under a name suffix and decode on read.
+_BF16 = "__bf16raw"
+
+
+def _encode_dtypes(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+    out = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        if v.dtype == ml_dtypes.bfloat16:
+            out[k + _BF16] = v.view(np.uint16)
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_dtypes(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+    out = {}
+    for k, v in arrays.items():
+        if k.endswith(_BF16):
+            out[k[: -len(_BF16)]] = v.view(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
 def read_dense(path: str) -> List[np.ndarray]:
     with np.load(os.path.join(path, DENSE)) as z:
-        return [z[k] for k in sorted(z.files)]
+        d = _decode_dtypes({k: z[k] for k in z.files})
+        return [d[k] for k in sorted(d)]
 
 
 def read_table(path: str, name: str) -> Dict[str, np.ndarray]:
@@ -139,7 +169,7 @@ def read_table(path: str, name: str) -> Dict[str, np.ndarray]:
     single = os.path.join(path, f"table-{name}.npz")
     if os.path.isfile(single):
         with np.load(single) as z:
-            return {k: z[k] for k in z.files}
+            return _decode_dtypes({k: z[k] for k in z.files})
     import glob
     parts = sorted(glob.glob(os.path.join(path, f"table-{name}.part*.npz")))
     if not parts:
@@ -161,7 +191,7 @@ def read_table(path: str, name: str) -> Dict[str, np.ndarray]:
                     scalars.setdefault(k, v)
     out = {k: np.concatenate(v) for k, v in merged.items()}
     out.update(scalars)
-    return out
+    return _decode_dtypes(out)
 
 
 def slot_leaf_names(slot_state) -> List[Tuple[str, Any]]:

@@ -134,12 +134,19 @@ def table_snapshot_host(
         out[f"slot__{name}"] = np.concatenate(parts)
     out.update(slot_scalars)
     if ev_state.cbf is not None:
+        out["cbf_shards"] = np.asarray(S, np.int32)
         if (not isinstance(ev_state.cbf, jax.Array)
                 or ev_state.cbf.is_fully_addressable):
             out["cbf"] = np.asarray(ev_state.cbf)
-            out["cbf_shards"] = np.asarray(S, np.int32)
-        # multi-process: the CBF sketch is per-shard and restore already
-        # tolerates its absence (pre-admission counts restart from zero)
+        else:
+            # multi-process: every process saves its addressable shards'
+            # sketch blocks (reference checkpoints bloom counters
+            # unconditionally, kv_variable_ops.cc import/export) — without
+            # them a restore silently resets pre-admission counts and
+            # admission behavior diverges by deployment size
+            m = ev_state.cbf.shape[0] // S
+            for s, blk in _blocks(ev_state.cbf, S, m).items():
+                out[f"cbf__shard{s:03d}"] = blk
     return out
 
 
@@ -203,24 +210,51 @@ def needed_capacity(n_rows: int, current: int, load: float = 0.6) -> int:
     return cap
 
 
+def _cbf_for_shard(arrays: Dict[str, np.ndarray], s: int, num_shards: int
+                   ) -> Optional[np.ndarray]:
+    """Per-shard CBF sketch at restore. Same shard count -> exact block.
+    Different count -> the elementwise SUM of all saved blocks: count-min
+    sketches over disjoint key sets sum to a valid (conservative) sketch
+    of the union, so counts survive a reshard — a key may be admitted
+    slightly early from collision overestimates, never late."""
+    cbf_shards = int(arrays["cbf_shards"]) if "cbf_shards" in arrays else 0
+    blocks = [arrays[k] for k in sorted(arrays)
+              if k.startswith("cbf__shard")]
+    if "cbf" in arrays:
+        full = arrays["cbf"]
+        if cbf_shards == num_shards:
+            m = full.shape[0] // num_shards
+            return full[s * m:(s + 1) * m]
+        # reshard: fold the stacked per-shard sketches into one union
+        if cbf_shards > 1:
+            m = full.shape[0] // cbf_shards
+            return full.reshape(cbf_shards, m).sum(axis=0, dtype=full.dtype)
+        return full
+    if blocks:
+        if cbf_shards == num_shards and len(blocks) == num_shards:
+            return blocks[s]
+        return np.sum(np.stack(blocks), axis=0, dtype=blocks[0].dtype)
+    return None
+
+
 def route_to_shards(arrays: Dict[str, np.ndarray], num_shards: int
                     ) -> List[Dict[str, np.ndarray]]:
     """Split compacted rows by the runtime owner hash (reshard-safe)."""
     own = K.hash32_np(arrays["keys"], seed=OWNER_SEED) % np.uint32(num_shards)
     out = []
+    skip = {"cbf", "cbf_shards"}
+    skip |= {k for k in arrays if k.startswith("cbf__shard")}
     row_keys = [k for k, v in arrays.items()
                 if k == "keys" or (hasattr(v, "ndim") and v.ndim >= 1
                                    and v.shape[0] == arrays["keys"].shape[0]
-                                   and k not in ("cbf",))]
-    cbf = arrays.get("cbf")
-    cbf_shards = int(arrays["cbf_shards"]) if "cbf_shards" in arrays else 0
+                                   and k not in skip)]
     for s in range(num_shards):
         sel = np.nonzero(own == s)[0]
         shard = {k: (arrays[k][sel] if k in row_keys else arrays[k])
-                 for k in arrays if k not in ("cbf", "cbf_shards")}
-        if cbf is not None and cbf_shards == num_shards:
-            m = cbf.shape[0] // num_shards
-            shard["cbf"] = cbf[s * m:(s + 1) * m]
+                 for k in arrays if k not in skip}
+        cbf = _cbf_for_shard(arrays, s, num_shards)
+        if cbf is not None:
+            shard["cbf"] = cbf
         out.append(shard)
     return out
 
@@ -386,6 +420,9 @@ class CheckpointManager:
                 st = ev.create(coll.config)
                 slot = opt.init(st.values)
                 for p in parts:
+                    cbf = _cbf_for_shard(p, 0, 1)
+                    if cbf is not None:
+                        p = dict(p, cbf=cbf)
                     st, slot = _scatter_table(st, slot, opt, coll.config, p)
                 new_tables[name] = state.tables[name]._replace(ev=st, slot=slot)
             else:

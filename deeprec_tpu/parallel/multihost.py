@@ -121,17 +121,26 @@ def all_max(value: int) -> int:
 
 def allgather_varlen(x: np.ndarray, fill=-1) -> np.ndarray:
     """Concatenate per-process host arrays of DIFFERENT leading sizes
-    across processes (collective). Identity single-process."""
+    across processes (collective). Identity single-process.
+
+    64-bit payloads ride as 32-bit bit-pattern planes: the gather traces
+    through jax, and with x64 disabled an int64 array would be SILENTLY
+    truncated to its low 32 bits — feature ids with high bits set (salted
+    coalesced-column keys) would stop matching their own tier rows."""
     x = np.asarray(x)
     if jax.process_count() == 1:
         return x
     from jax.experimental import multihost_utils
     counts = np.asarray(multihost_utils.process_allgather(
-        np.asarray([x.shape[0]], np.int64), tiled=True)).reshape(-1)
+        np.asarray([x.shape[0]], np.int32), tiled=True)).reshape(-1)
     m = max(int(counts.max()), 1)
     pad = np.full((m,) + x.shape[1:], fill, x.dtype)
     pad[:x.shape[0]] = x
-    g = np.asarray(multihost_utils.process_allgather(pad))  # [P, m, ...]
+    wide = x.dtype.itemsize == 8
+    payload = pad.view(np.uint32) if wide else pad  # [m(, ...*2)]
+    g = np.asarray(multihost_utils.process_allgather(payload))  # [P, m, ...]
+    if wide:
+        g = g.view(x.dtype)
     return np.concatenate([g[p, :counts[p]] for p in range(len(counts))])
 
 

@@ -20,8 +20,13 @@ def make_common(tiered=False):
     ev_kw = {}
     if tiered:
         from deeprec_tpu.config import StorageOption, StorageType
+        # CBF admission included so multi-part checkpoints carry per-shard
+        # sketch blocks (admission behavior must survive restore at any
+        # process count)
         ev_kw = dict(evict=dr.GlobalStepEvict(steps_to_live=3),
-                     storage=StorageOption(storage_type=StorageType.HBM_DRAM))
+                     storage=StorageOption(storage_type=StorageType.HBM_DRAM),
+                     cbf_filter=dr.CBFFilter(filter_freq=2,
+                                             max_element_size=2048))
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8) for n in CATS]
     coll = fc.EmbeddingCollection(
         cols, name="emb", capacity=256,

@@ -123,13 +123,98 @@ def test_two_process_cluster_matches_single_controller(tmp_path):
     assert np.isfinite(float(st_r.metrics.loss_sum))
 
 
+def _tiered_baseline(tmp_path):
+    """Single-controller 8-device tiered run of the same global stream,
+    with the same demotion schedule as mp_worker."""
+    from deeprec_tpu.checkpoint import CheckpointManager
+    from deeprec_tpu.parallel.tiered import TieredShardedTrainer
+    from deeprec_tpu.parallel.trainer import make_mesh
+    from deeprec_tpu.train import metrics as M
+
+    tr = TieredShardedTrainer(mesh=make_mesh(8), **make_common(tiered=True))
+    state = tr.init(jax.random.key(0), global_batch(0))
+    for i in range(STEPS):
+        state = tr.train_step(state, global_batch(i))
+        if i == STEPS - 2:
+            state = tr.maybe_demote(state)
+    ckpt_b = str(tmp_path / "ckpt_base")
+    CheckpointManager(ckpt_b).save(tr, state, evict=False)
+    return tr, state, M.summarize(state.metrics), ckpt_b
+
+
+def _ckpt_rows(ckpt):
+    """Per-key multimap of device + tier rows of a checkpoint (a key can
+    appear in both: demoted, then re-created on device while its tier row
+    stayed behind — the restore path reconciles by version). Values carry
+    as float arrays so callers can compare within a ULP tolerance
+    (cross-deployment collective reduction order differs)."""
+    from deeprec_tpu.checkpoint import format as F
+    base, _ = F.restore_plan(ckpt)
+    dev = F.read_table(base["path"], "emb")
+    out = {}
+    for i, k in enumerate(dev["keys"]):
+        out.setdefault(int(k), []).append(
+            ("dev", dev["values"][i], int(dev["freqs"][i]),
+             int(dev["versions"][i])))
+    try:
+        tier = F.read_table(base["path"], "__tier__emb")
+    except FileNotFoundError:
+        return {k: sorted(v, key=lambda e: e[0]) for k, v in out.items()}, 0
+    for i, k in enumerate(tier["keys"]):
+        out.setdefault(int(k), []).append(("tier", tier["rows"][i]))
+    return {k: sorted(v, key=lambda e: e[0]) for k, v in out.items()}, \
+        len(tier["keys"])
+
+
+def _assert_rows_equal(rows_a, rows_b):
+    """Structure (key sets, dev/tier placement), freqs and versions match
+    EXACTLY; float rows match to 1e-6 (collective association differs
+    between a gloo cluster and a single controller)."""
+    assert rows_a.keys() == rows_b.keys()
+    for k, ea in rows_a.items():
+        eb = rows_b[k]
+        assert [e[0] for e in ea] == [e[0] for e in eb], k
+        for xa, xb in zip(ea, eb):
+            np.testing.assert_allclose(xa[1], xb[1], atol=1e-6, rtol=1e-5)
+            assert xa[2:] == xb[2:], k
+
+
 @pytest.mark.slow
 def test_two_process_tiered_cluster(tmp_path):
-    """TieredShardedTrainer under 2 processes: per-process host tiers
-    demote/promote against process-local shards; checkpoint still saves the
-    HBM-resident rows per part."""
+    """TieredShardedTrainer under 2 processes demotes/promotes against
+    process-local shards AND matches a single-controller tiered run
+    exactly: metrics, per-key device rows, per-key tier rows, and the
+    per-shard CBF admission sketches all agree (the multi-part checkpoint
+    carries tier rows and CBF blocks per part)."""
     ckpt, outs, logs = _spawn_cluster(tmp_path, nproc=2, dev_per=4,
                                       tiered=True)
+    tr_b, st_b, m_b, ckpt_b = _tiered_baseline(tmp_path)
     for o in outs:
         assert o["step"] == STEPS
-        assert np.isfinite(o["loss"])
+        assert abs(o["loss"] - m_b["loss"]) < 1e-5, (o["loss"], m_b["loss"])
+        assert abs(o["auc"] - m_b["auc"]) < 1e-4
+
+    rows_mp, tier_mp = _ckpt_rows(ckpt)
+    rows_b, tier_b = _ckpt_rows(ckpt_b)
+    assert tier_mp == tier_b > 0  # demotion really ran, same rows chosen
+    assert len(rows_mp) > 0
+    _assert_rows_equal(rows_mp, rows_b)
+
+    # restore the 2-process ckpt at the SAME shard count: the per-shard CBF
+    # sketches restore exactly, so admission behavior cannot diverge
+    from deeprec_tpu.checkpoint import CheckpointManager
+    from deeprec_tpu.parallel.tiered import TieredShardedTrainer
+    from deeprec_tpu.parallel.trainer import make_mesh
+    tr_r = TieredShardedTrainer(mesh=make_mesh(8), **make_common(tiered=True))
+    st_r = tr_r.init(jax.random.key(0), global_batch(0))
+    st_r, ok = CheckpointManager(ckpt).restore(tr_r, st_r)
+    assert ok
+    np.testing.assert_array_equal(
+        np.asarray(st_r.tables["emb"].ev.cbf),
+        np.asarray(st_b.tables["emb"].ev.cbf))
+    # ...and training continues with identical admission on both
+    st_b2 = tr_b.train_step(st_b, global_batch(STEPS))
+    st_r2 = tr_r.train_step(st_r, global_batch(STEPS))
+    np.testing.assert_array_equal(
+        np.asarray(st_r2.tables["emb"].ev.cbf),
+        np.asarray(st_b2.tables["emb"].ev.cbf))
