@@ -70,6 +70,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hostkv_erase.argtypes = [ctypes.c_void_p, _p_i64, _i64]
         lib.hostkv_export.restype = _i64
         lib.hostkv_export.argtypes = [ctypes.c_void_p, _p_i64, _p_f32, _i64]
+        lib.hostkv_export_col.restype = _i64
+        lib.hostkv_export_col.argtypes = [ctypes.c_void_p, _p_i64, _p_f32,
+                                          _i64, _i64]
         lib.criteo_parse.restype = _i64
         lib.criteo_parse.argtypes = [ctypes.c_char_p, _i64, _i64,
                                      _p_f32, _p_f32, _p_i64,
@@ -159,6 +162,20 @@ class HostKV:
             rows[i] = r
         return keys, rows
 
+    def export_col(self, col: int) -> Tuple[np.ndarray, np.ndarray]:
+        """All live keys + one f32 row column (width-x cheaper than a full
+        export — the spill ranking only needs the version stamp)."""
+        n = len(self)
+        keys = np.zeros((n,), np.int64)
+        vals = np.zeros((n,), np.float32)
+        if self._h is not None:
+            w = int(self._lib.hostkv_export_col(self._h, keys, vals, col, n))
+            return keys[:w], vals[:w]
+        for i, (k, r) in enumerate(self._fallback.items()):
+            keys[i] = k
+            vals[i] = r[col]
+        return keys, vals
+
 
 class TierStack:
     """DRAM -> SSD storage cascade (reference multi-tier EmbeddingVariable,
@@ -190,14 +207,19 @@ class TierStack:
     def _maybe_spill(self) -> None:
         if not self.budget or len(self.dram) <= self.budget:
             return
-        keys, rows = self.dram.export()
-        vers = rows[:, self.version_col].copy().view(np.int32)
-        # spill the coldest rows down to half the budget (amortized O(n))
+        # rank coldness from the version COLUMN alone (keys + one f32 per
+        # row instead of the full payload), select the spill set with an
+        # O(n) argpartition, and read only the spilled rows — a 10M-row
+        # DRAM budget spills without a full-tier export + sort pause
+        keys, vcol = self.dram.export_col(self.version_col)
+        vers = vcol.copy().view(np.int32)
         keep = self.budget // 2
-        order = np.argsort(vers)  # oldest version first
-        spill = order[: len(keys) - keep]
-        self.ssd.upsert(keys[spill], rows[spill])
-        self.dram.erase(keys[spill])
+        n_spill = len(keys) - keep
+        part = np.argpartition(vers, n_spill - 1)[:n_spill]
+        spill_keys = keys[part]
+        rows, found = self.dram.lookup(spill_keys)
+        self.ssd.upsert(spill_keys[found], rows[found])
+        self.dram.erase(spill_keys)
 
     def lookup(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         rows, found = self.dram.lookup(keys)

@@ -336,6 +336,25 @@ int64_t hostkv_export(HostKV* kv, int64_t* keys_out, float* rows_out,
   return w;
 }
 
+// export all live keys plus ONE row column (the version stamp): the spill
+// path of the DRAM->SSD cascade ranks rows by coldness without paying the
+// full-row export bandwidth (width x fewer bytes than hostkv_export)
+int64_t hostkv_export_col(HostKV* kv, int64_t* keys_out, float* col_out,
+                          int64_t col, int64_t max_n) {
+  int64_t w = 0;
+  for (auto& s : kv->shards) {
+    std::lock_guard<std::mutex> g(s.mu);
+    for (size_t j = 0; j <= s.mask; ++j) {
+      if (s.keys[j] == Shard::kEmpty) continue;
+      if (w >= max_n) return w;
+      keys_out[w] = s.keys[j];
+      col_out[w] = s.row_ptr(s.slot[j])[col];
+      ++w;
+    }
+  }
+  return w;
+}
+
 // ---------------------------------------------------------------------------
 // Criteo TSV parser: label \t 13 ints \t 26 hex tokens per line.
 // Parses up to max_rows complete lines from buf[0..len); returns rows
