@@ -28,6 +28,12 @@ def main():
                          "mesh (times the all_to_all/bucketing machinery)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute in the dense towers")
+    ap.add_argument("--metadata", action="store_true",
+                    help="track freq+version+create_step metadata (the "
+                         "'normal' ValuePtr layout: a CounterFilter + "
+                         "GlobalStepEvict config); default is the light "
+                         "layout the reference also picks for a filter-"
+                         "less, evict-less table")
     ap.add_argument("--max-unique-div", type=int, default=6,
                     help="dedup width = flat width / this (static cap; "
                          "uniques beyond it read the null row for a step). "
@@ -52,6 +58,10 @@ def main():
     numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES]
     emb_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), args.emb_dim)
                 for n in CAT_NAMES]
+    meta_kw = {}
+    if args.metadata:
+        meta_kw = dict(counter_filter=dr.CounterFilter(filter_freq=1),
+                       evict=dr.GlobalStepEvict(steps_to_live=1 << 30))
     coll = fc.EmbeddingCollection(
         emb_cols, name="emb", capacity=args.capacity,
         initializer=dr.Initializer(kind="normal", scale=0.05),
@@ -60,7 +70,7 @@ def main():
         max_unique=len(CAT_NAMES) * args.batch // args.max_unique_div,
         # ValuePtr-style fused slot storage: adagrad accumulator lives in
         # the values rows -> one optimizer scatter instead of two
-        fused_slot_columns=args.emb_dim, fused_slot_init=0.1)
+        fused_slot_columns=args.emb_dim, fused_slot_init=0.1, **meta_kw)
     import jax.numpy as jnp
     model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=args.emb_dim,
                      bottom_units=(512, 256), top_units=(1024, 1024, 512, 256),
@@ -99,6 +109,8 @@ def main():
     name = "dlrm_criteo_examples_per_sec_per_chip"
     if args.sharded:
         name = "dlrm_criteo_sharded_examples_per_sec_per_chip"
+    if args.metadata:
+        name += "_metadata"
     print(json.dumps({
         "metric": name,
         "value": round(eps, 1),

@@ -49,7 +49,14 @@ class SyntheticBehavior:
         latent_dim: int = 8,
         seed: int = 0,
         noise: float = 0.5,
+        emit_clean_logit: bool = False,
     ):
+        # emit_clean_logit: include the generator's noiseless logit as
+        # "_clean_logit" per batch — ranking by it is Bayes-optimal
+        # (the noise is additive pre-sigmoid, so E[y|features+latents] is
+        # monotone in the clean logit). Used to compute the stream's
+        # achievable AUC ceiling; trainers ignore unknown batch keys.
+        self.emit_clean_logit = emit_clean_logit
         self.batch_size = batch_size
         self.max_len = max_len
         self.n_users = n_users
@@ -98,9 +105,10 @@ class SyntheticBehavior:
         # label signal 3: latent taste affinity (slow co-occurrence tail)
         logit = (1.2 * bias + 1.2 * repeat
                  + 0.5 * np.einsum("bd,bd->b", taste, self.item_vec[cand]))
+        clean = logit.copy()
         logit += rng.normal(0, self.noise, size=B)
         p = 1.0 / (1.0 + np.exp(-logit))
-        return {
+        out = {
             "uid": uid.astype(np.int64),
             "item": cand.astype(np.int64),
             "cate": self.item_cate[cand].astype(np.int64),
@@ -108,6 +116,43 @@ class SyntheticBehavior:
             "hist_cate": hist_cate,
             "label": (rng.random(B) < p).astype(np.float32),
         }
+        if self.emit_clean_logit:
+            out["_clean_logit"] = clean.astype(np.float32)
+        return out
 
     def take(self, n: int):
         return itertools.islice(self, n)
+
+
+def oracle_auc(n_batches: int = 50, **gen_kwargs) -> float:
+    """Bayes-optimal AUC of the behaviour stream: rank by the generator's
+    noiseless logit (the label noise is additive pre-sigmoid, so this is
+    the achievable ceiling any model is measured against — the
+    '% of achievable lift' denominator, like the Criteo-stream oracle
+    docs/Performance.md uses for DCN). benchmarks/behavior_oracle.py adds
+    the feature-observable variants."""
+    gen_kwargs.setdefault("batch_size", 4096)
+    gen = SyntheticBehavior(emit_clean_logit=True, **gen_kwargs)
+    scores, labels = [], []
+    for b in gen.take(n_batches):
+        scores.append(b["_clean_logit"])
+        labels.append(b["label"])
+    return _rank_auc(np.concatenate(scores), np.concatenate(labels))
+
+
+def _rank_auc(s: np.ndarray, y: np.ndarray) -> float:
+    """Exact (tie-corrected, rank-based) AUC of scores s against labels y."""
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s), np.float64)
+    ranks[order] = np.arange(1, len(s) + 1)
+    # tie-correct via average ranks on sorted groups
+    s_sorted = s[order]
+    starts = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])
+    ends = np.r_[starts[1:], len(s)]
+    for a, e in zip(starts, ends):
+        if e - a > 1:
+            ranks[order[a:e]] = (a + 1 + e) / 2.0
+    pos = y > 0.5
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg))
