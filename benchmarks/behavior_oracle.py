@@ -36,8 +36,9 @@ import numpy as np
 from deeprec_tpu.data.behavior import SyntheticBehavior, _rank_auc
 
 
-def main(n_batches: int = 50, batch_size: int = 4096):
-    gen = SyntheticBehavior(batch_size=batch_size, emit_clean_logit=True)
+def main(n_batches: int = 50, batch_size: int = 4096, **gen_kwargs):
+    gen = SyntheticBehavior(batch_size=batch_size, emit_clean_logit=True,
+                            **gen_kwargs)
     iv = gen.item_vec
     scores = {"bayes": [], "observable": [], "bias_repeat": []}
     labels = []
@@ -75,4 +76,10 @@ def main(n_batches: int = 50, batch_size: int = 4096):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-items", type=int, default=50_000)
+    ap.add_argument("--n-users", type=int, default=10_000)
+    ap.add_argument("--n-batches", type=int, default=50)
+    a = ap.parse_args()
+    main(n_batches=a.n_batches, n_items=a.n_items, n_users=a.n_users)
