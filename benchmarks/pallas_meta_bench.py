@@ -18,6 +18,23 @@ the train step currently uses:
      instead of O(U) random writes, profitable only when U ~ cap.
 
 Run on the real chip:  python benchmarks/pallas_meta_bench.py
+
+MEASURED (v5e, 2026-08-17, CAP=2M, U=17664) — the Pallas route is dead:
+  a) XLA 3x 1-col scatters: 5.283 ms standalone (100 ns/elem/plane;
+     inside the fused train step the same writes cost ~1.8 ms — XLA
+     overlaps them with the gather/update DAG).
+  b) Pallas per-slot DMA: NOT EXPRESSIBLE. Mosaic requires dynamic
+     slices of an i32 plane to align to its (1024,) tiling — for both
+     VMEM sources and ANY/HBM destinations ("Slice shape along dimension
+     0 must be aligned to tiling (1024), but is 1"). The minimum HBM
+     write granule is one tile (4 KiB of i32), so a probe-fused
+     metadata write would move U x 4KiB = 72 MiB/step/plane — 40x the
+     XLA scatter's traffic.
+  c) Pallas blocked read-modify-write: NOT EXPRESSIBLE — no scatter
+     lowering for TC kernels ("Unimplemented primitive ... scatter").
+Conclusion: the XLA 1-column scatter IS the mechanism on this hardware;
+the light-layout gating (skip the writes when no consumer) was the real
+lever, already landed (+15.8%% bench).
 """
 import argparse
 import sys
@@ -69,8 +86,15 @@ def xla_three_scatters(versions, freqs, create_steps, slots, gs, inc):
 def _dma_kernel(n, slots_ref, val_ref, plane_ref, sem):
     def body(i, _):
         slot = slots_ref[i]
+        # source is a STATIC single cell: a dynamic 1-elem slice of a 1-D
+        # VMEM ref violates Mosaic's (1024,) tiling (measured failure kept
+        # in docs). The real version/create_step writes broadcast ONE
+        # scalar (the global step) to every touched slot, so a fixed
+        # source cell is the true mechanism, not a simplification. The
+        # destination is un-tiled HBM (memory_space=ANY) where dynamic
+        # 1-row slices are legal.
         dma = pltpu.make_async_copy(
-            val_ref.at[pl.ds(i, 1)],
+            val_ref.at[pl.ds(0, 1)],
             plane_ref.at[pl.ds(slot, 1)],
             sem,
         )

@@ -81,15 +81,13 @@ class SyntheticBehavior:
         taste = self.item_vec[taste_items]                    # [B, d]
         lens = rng.integers(4, L + 1, size=B)
         cand = rng.integers(0, self.n_items, size=B)
-        hist_item = np.full((B, L), -1, np.int64)
-        hist_cate = np.full((B, L), -1, np.int64)
         pool = rng.integers(0, self.n_items, size=(B, L, 4))
         aff = np.einsum("bd,blkd->blk", taste, self.item_vec[pool])
         pick = pool[np.arange(B)[:, None], np.arange(L)[None, :],
                     np.argmax(aff, axis=-1)]
-        for b in range(B):
-            hist_item[b, :lens[b]] = pick[b, :lens[b]]
-            hist_cate[b, :lens[b]] = self.item_cate[pick[b, :lens[b]]]
+        valid = np.arange(L)[None, :] < lens[:, None]
+        hist_item = np.where(valid, pick, -1)
+        hist_cate = np.where(valid, self.item_cate[pick], -1)
         # label signal 1: per-item hidden bias (hash-derived, O(1) memory)
         h = (cand.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              + np.uint64(77))
