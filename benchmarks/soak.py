@@ -87,11 +87,17 @@ def main():
     ap.add_argument("--out", default="docs/soak_trajectory.json")
     ap.add_argument("--eval-batches", type=int, default=10)
     ap.add_argument("--prefetch-workers", type=int, default=6)
+    ap.add_argument("--max-fences", type=int, default=None,
+                    help="stop after N fences (deterministic smoke runs; "
+                         "failover fires at N/2) instead of wall-clock")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
-        args.minutes = 0.5
-        args.batch, args.capacity = 512, 1 << 13
+        # deterministic: fence-count driven, capacity small enough that
+        # growth ALWAYS fires, timers short enough that both save kinds do
+        args.minutes = 30.0          # deadline is the backstop, not the driver
+        args.max_fences = 10
+        args.batch, args.capacity = 512, 1 << 12
         args.steps_to_live, args.fence_every, args.demote_every = 10, 5, 2
         args.full_secs, args.incr_secs = 25.0, 8.0
         args.eval_batches = 3
@@ -142,7 +148,8 @@ def main():
         state = tr._jit_train(state, *packed)
         float(state.metrics.count)     # D2H fence (tunnel-honest)
         n_fence = 0
-        while time.time() < deadline:
+        while (time.time() < deadline
+               and (args.max_fences is None or n_fence < args.max_fences)):
             t0 = time.perf_counter()
             for _ in range(args.fence_every):
                 raw, packed = next(pf_it)
@@ -184,10 +191,16 @@ def main():
             })
 
             # --- one mid-run failure + restore-from-latest -------------
-            if not failed_over and time.time() >= half:
+            at_half = (n_fence >= args.max_fences // 2
+                       if args.max_fences is not None
+                       else time.time() >= half)
+            if not failed_over and at_half:
                 failed_over = True
                 step_before = int(state.step)
-                mgr.maybe_save(tr, state)   # whatever the timers allow
+                # graceful failover: the timers if due, else a forced
+                # incremental — steps_lost then measures restore FIDELITY
+                # (crash loss is tests/test_fault_tolerance.py's job)
+                mgr.maybe_save(tr, state) or mgr.save_incremental(tr, state)
                 del state
                 tr = build_trainer(args)    # fresh process-equivalent
                 state = tr.init(jax.random.key(1), next(iter(
