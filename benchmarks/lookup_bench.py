@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--capacity", type=int, default=1 << 21)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--zipf", type=float, default=1.2)
+    ap.add_argument("--dtype", default="float32",
+                    help="table value_dtype (e.g. bfloat16) — measures the "
+                         "bf16-storage gather/scatter cost at this dim")
     args = ap.parse_args()
 
     import numpy as np
@@ -37,7 +40,7 @@ def main():
     rng = np.random.default_rng(0)
     cfg = dr.EmbeddingVariableConfig(
         name="bench", embedding_dim=args.dim, capacity=args.capacity,
-        max_unique=args.batch // 4)
+        max_unique=args.batch // 4, value_dtype=args.dtype)
     st = ev.create(cfg)
 
     batches = [K.from_numpy((rng.zipf(args.zipf, size=args.batch)
@@ -66,11 +69,27 @@ def main():
         r = g(st.values, slots)
     float(r)
     dt = (time.perf_counter() - t0) / 20
-    gbs = u * args.dim * 4 / dt / 1e9
+    row_bytes = args.dim * jnp.dtype(st.values.dtype).itemsize
+    gbs = u * row_bytes / dt / 1e9
     print(json.dumps({
         "metric": "row_gather_bandwidth", "value": round(gbs, 2), "unit": "GB/s",
-        "rows_per_sec": round(u / dt),
-        "note": "random 64B-row reads; issue-bound, see ops/pallas_gather.py"}))
+        "rows_per_sec": round(u / dt), "dtype": str(st.values.dtype),
+        "row_bytes": int(row_bytes),
+        "note": "random small-row reads; issue-bound, see ops/pallas_gather.py"}))
+
+    # row scatter (the optimizer write-back path) over the same slots
+    upd = jnp.ones((u, args.dim), st.values.dtype)
+    sc = jax.jit(lambda v, s, x: v.at[s].set(x, unique_indices=True))
+    sc(st.values, slots, upd).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        r2 = sc(st.values, slots, upd)
+    float(r2[:8].astype(jnp.float32).sum())
+    dt = (time.perf_counter() - t0) / 20
+    print(json.dumps({
+        "metric": "row_scatter_bandwidth",
+        "value": round(u * row_bytes / dt / 1e9, 2), "unit": "GB/s",
+        "rows_per_sec": round(u / dt), "dtype": str(st.values.dtype)}))
 
 
 if __name__ == "__main__":

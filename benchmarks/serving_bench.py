@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--batches", default="256,1024,4096")
     ap.add_argument("--capacity", type=int, default=1 << 18)
     ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--tiered", type=int, default=0, metavar="BUDGET",
+                    help="also bench TieredPredictor with this device row "
+                         "budget (host-DRAM cold tail, per-request staging)")
     args = ap.parse_args()
 
     import numpy as np
@@ -56,18 +59,27 @@ def main():
 
     n2, c2, m2 = parts()
     pred = Predictor(m2, n2, {"emb": c2}, ckdir)
-    for bs in (int(x) for x in args.batches.split(",")):
-        g = SyntheticCriteo(batch_size=bs, seed=9)
-        batch = next(g)
-        p = pred.predict(batch)  # compile
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            p = pred.predict(batch)
-        dt = (time.perf_counter() - t0) / args.reps
-        print(json.dumps({
-            "metric": "serving_latency_ms", "batch": bs,
-            "value": round(dt * 1e3, 2), "unit": "ms",
-            "throughput_per_sec": round(bs / dt)}))
+    predictors = [("serving_latency_ms", pred)]
+    if args.tiered:
+        from deeprec_tpu.serving import TieredPredictor
+        n3, c3, m3 = parts()
+        predictors.append(("serving_tiered_latency_ms", TieredPredictor(
+            m3, n3, {"emb": c3}, ckdir, device_row_budget=args.tiered)))
+    for name, p_ in predictors:
+        for bs in (int(x) for x in args.batches.split(",")):
+            # cycle fresh batches so the tiered host-probe path does real
+            # per-request work (datagen cost stays outside the timed loop)
+            g = SyntheticCriteo(batch_size=bs, seed=9)
+            pool = [next(g) for _ in range(8)]
+            p = p_.predict(pool[0])  # compile
+            t0 = time.perf_counter()
+            for i in range(args.reps):
+                p = p_.predict(pool[i % len(pool)])
+            dt = (time.perf_counter() - t0) / args.reps
+            print(json.dumps({
+                "metric": name, "batch": bs,
+                "value": round(dt * 1e3, 2), "unit": "ms",
+                "throughput_per_sec": round(bs / dt)}))
 
 
 if __name__ == "__main__":
