@@ -203,6 +203,19 @@ def _scatter_table(state, slot_state, opt, config, arrays) -> Tuple[Any, Any]:
     return new_state, new_slot
 
 
+def last_wins_sel(keys: np.ndarray) -> np.ndarray:
+    """Indices selecting the LAST occurrence of each key in ``keys``
+    (ascending original order). The one definition of part-merge
+    semantics: parts are ordered oldest-first, so the newest row wins."""
+    if keys.size == 0:
+        return np.empty(0, np.int64)
+    order = np.arange(keys.shape[0])
+    srt = np.lexsort((order, keys))
+    ks = keys[srt]
+    last = np.r_[ks[1:] != ks[:-1], True]
+    return np.sort(srt[last])
+
+
 def needed_capacity(n_rows: int, current: int, load: float = 0.6) -> int:
     cap = current
     while n_rows > load * cap:
@@ -248,11 +261,16 @@ def route_to_shards(arrays: Dict[str, np.ndarray], num_shards: int
                 if k == "keys" or (hasattr(v, "ndim") and v.ndim >= 1
                                    and v.shape[0] == arrays["keys"].shape[0]
                                    and k not in skip)]
+    # reshard case: every shard gets the same union fold — compute once
+    cbf_shards = int(arrays["cbf_shards"]) if "cbf_shards" in arrays else 0
+    cbf_union = (_cbf_for_shard(arrays, 0, num_shards)
+                 if cbf_shards != num_shards else None)
     for s in range(num_shards):
         sel = np.nonzero(own == s)[0]
         shard = {k: (arrays[k][sel] if k in row_keys else arrays[k])
                  for k in arrays if k not in skip}
-        cbf = _cbf_for_shard(arrays, s, num_shards)
+        cbf = (cbf_union if cbf_union is not None
+               else _cbf_for_shard(arrays, s, num_shards))
         if cbf is not None:
             shard["cbf"] = cbf
         out.append(shard)
@@ -509,16 +527,7 @@ def _stack_shards(trainer, coll, bundle_template, shard_states, shard_slots):
     """Stack per-shard pytrees into the trainer's row-sharded global arrays
     (multi-process safe: every process computes the same per-shard host
     state and materialises only its addressable shards)."""
-    from jax.sharding import PartitionSpec as P
-    from ..parallel.multihost import host_to_global
-
-    def stack(*leaves):
-        l0 = leaves[0]
-        if hasattr(l0, "ndim") and l0.ndim >= 1:
-            glob = np.concatenate([np.asarray(l) for l in leaves], axis=0)
-            return host_to_global(trainer.mesh, P(trainer.axis), glob)
-        return host_to_global(trainer.mesh, P(), leaves[0])
-
-    ev_state = jax.tree_util.tree_map(stack, *shard_states)
-    slot = jax.tree_util.tree_map(stack, *shard_slots)
+    from ..parallel.multihost import stack_rowsharded
+    ev_state = stack_rowsharded(trainer.mesh, trainer.axis, shard_states)
+    slot = stack_rowsharded(trainer.mesh, trainer.axis, shard_slots)
     return bundle_template._replace(ev=ev_state, slot=slot)

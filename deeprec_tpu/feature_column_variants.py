@@ -395,6 +395,12 @@ class AdaptiveCollection(EmbeddingCollection):
 
         def scatter_all(st, slot):
             for p in (ev_parts if num_shards == 1 else ()):
+                # fold multi-shard CBF blocks into the single-shard sketch
+                # (the generic restore path's _cbf_for_shard treatment) —
+                # _scatter_table's exact-shape guard would drop them
+                cbf = SV._cbf_for_shard(p, 0, 1)
+                if cbf is not None:
+                    p = dict(p, cbf=cbf)
                 st, slot = SV._scatter_table(st, slot, opt, self.config, p)
             return st, slot
 
@@ -404,8 +410,7 @@ class AdaptiveCollection(EmbeddingCollection):
             st, slot = scatter_all(st, slot)
             ev_state, ev_slot = st, slot
         else:
-            from jax.sharding import PartitionSpec as P
-            from .parallel.multihost import host_to_global
+            from .parallel.multihost import stack_rowsharded
             routed = [SV.route_to_shards(p, num_shards) for p in ev_parts]
             shard_states, shard_slots = [], []
             for s in range(num_shards):
@@ -416,16 +421,10 @@ class AdaptiveCollection(EmbeddingCollection):
                                                  self.config, p[s])
                 shard_states.append(st)
                 shard_slots.append(slot)
-
-            def stack(*leaves):
-                l0 = leaves[0]
-                if hasattr(l0, "ndim") and l0.ndim >= 1:
-                    glob = np.concatenate([np.asarray(l) for l in leaves], 0)
-                    return host_to_global(trainer.mesh, P(trainer.axis), glob)
-                return host_to_global(trainer.mesh, P(), leaves[0])
-
-            ev_state = jax.tree_util.tree_map(stack, *shard_states)
-            ev_slot = jax.tree_util.tree_map(stack, *shard_slots)
+            ev_state = stack_rowsharded(trainer.mesh, trainer.axis,
+                                        shard_states)
+            ev_slot = stack_rowsharded(trainer.mesh, trainer.axis,
+                                       shard_slots)
 
         static = jnp.asarray(parts[-1]["static__table"])
         n_st = len(jax.tree_util.tree_leaves(template.slot["static"]))
@@ -747,10 +746,18 @@ class HashTableCollection(EmbeddingCollection):
         for nm, parts in sel_slots.items():
             out[f"slot__{nm}"] = np.concatenate(parts)
         if st.alloc.cbf is not None:
+            out["cbf_shards"] = np.asarray(S, np.int32)
             if (not isinstance(st.alloc.cbf, jax.Array)
                     or st.alloc.cbf.is_fully_addressable):
                 out["cbf"] = np.asarray(st.alloc.cbf)
-                out["cbf_shards"] = np.asarray(S, np.int32)
+            else:
+                # multi-process: save the addressable sketch blocks, like
+                # the EV path (saver.table_snapshot_host) — dropping them
+                # resets pre-admission counts only on multi-process
+                # restores, diverging admission by deployment size
+                m = st.alloc.cbf.shape[0] // S
+                for s, blk in addressable_blocks(st.alloc.cbf, S, m).items():
+                    out[f"cbf__shard{s:03d}"] = blk
         return out
 
     def _restore_one_shard(self, arrays, opt):
@@ -760,21 +767,14 @@ class HashTableCollection(EmbeddingCollection):
         cap = self.config.capacity
         st = self.init()
         keys = K.from_numpy(arrays["keys"])
-        n = arrays["keys"].shape[0]
-        index, slots, _ = ht_mod.lookup_or_insert(st.alloc.index, keys,
-                                                  self.config.max_probes)
-        live = ~K.is_empty(keys) & (slots != cap)
-        new_ids = jnp.where(live, jnp.arange(n, dtype=jnp.int32), -1)
-        dest = jnp.where(live, slots, cap + 1)
-        ids_plane = st.alloc.ids.at[dest].set(new_ids, mode="drop",
-                                              unique_indices=True)
+        index, ids_plane, next_id, live, new_ids = hta.reinsert(
+            st.alloc, keys, self.config.max_probes)
         cbf = st.alloc.cbf
         if cbf is not None and "cbf" in arrays \
                 and arrays["cbf"].shape == cbf.shape:
             cbf = jnp.asarray(arrays["cbf"], cbf.dtype)
         alloc = hta.HashTableState(
-            index=index, ids=ids_plane,
-            next_id=jnp.sum(live.astype(jnp.int32)), cbf=cbf)
+            index=index, ids=ids_plane, next_id=next_id, cbf=cbf)
         row_dest = jnp.where(live, new_ids, cap + 1)
         table = hta.Tensible(rows=st.table.rows.at[row_dest].set(
             jnp.asarray(arrays["values"], st.table.rows.dtype),
@@ -804,18 +804,16 @@ class HashTableCollection(EmbeddingCollection):
         # merge parts, newest occurrence of a key wins
         def merge(parts):
             keys = np.concatenate([p["keys"] for p in parts])
-            order = np.arange(len(keys))
-            srt = np.lexsort((order, keys))
-            ks = keys[srt]
-            last = np.r_[ks[1:] != ks[:-1], True]
-            sel = np.sort(srt[last])
+            sel = SV.last_wins_sel(keys)
             out = {}
             for k in parts[0]:
-                if k in ("__ht__", "cbf", "cbf_shards"):
+                if k == "__ht__" or k == "cbf_shards" or k.startswith("cbf"):
                     continue
                 out[k] = np.concatenate([p[k] for p in parts])[sel]
-            for k in ("cbf", "cbf_shards"):
-                if k in parts[-1]:
+            # CBF sketches ride whole (newest part wins), incl. per-shard
+            # blocks from multi-process saves — _cbf_for_shard folds them
+            for k in parts[-1]:
+                if k == "cbf_shards" or k.startswith("cbf"):
                     out[k] = parts[-1][k]
             return out
 
@@ -827,10 +825,12 @@ class HashTableCollection(EmbeddingCollection):
             self.config = dataclasses.replace(self.config, capacity=cap)
             trainer.rejit()
         if num_shards == 1:
+            cbf = SV._cbf_for_shard(merged, 0, 1)
+            if cbf is not None:
+                merged = dict(merged, cbf=cbf)
             st, slot = self._restore_one_shard(merged, opt)
             return template._replace(ev=st, slot=slot)
-        from jax.sharding import PartitionSpec as P
-        from .parallel.multihost import host_to_global
+        from .parallel.multihost import stack_rowsharded
         routed = SV.route_to_shards(merged, num_shards)
         states, slots = [], []
         for s in range(num_shards):
@@ -838,17 +838,9 @@ class HashTableCollection(EmbeddingCollection):
             st = HTState(alloc=self._stacked_alloc(st.alloc), table=st.table)
             states.append(st)
             slots.append(slot)
-
-        def stack(*leaves):
-            l0 = leaves[0]
-            if hasattr(l0, "ndim") and l0.ndim >= 1:
-                glob = np.concatenate([np.asarray(l) for l in leaves], 0)
-                return host_to_global(trainer.mesh, P(trainer.axis), glob)
-            return host_to_global(trainer.mesh, P(), leaves[0])
-
         return template._replace(
-            ev=jax.tree_util.tree_map(stack, *states),
-            slot=jax.tree_util.tree_map(stack, *slots))
+            ev=stack_rowsharded(trainer.mesh, trainer.axis, states),
+            slot=stack_rowsharded(trainer.mesh, trainer.axis, slots))
 
 
 class DynamicDimCollection(EmbeddingCollection):

@@ -383,19 +383,25 @@ class DistributedHashTable:
             ks.append(k64[live])
             vs.append(rowsb[s][idsb[s][live]])
         out = {"keys": np.concatenate(ks), "values": np.concatenate(vs)}
-        if state.alloc.cbf is not None and (
-                not isinstance(state.alloc.cbf, jax.Array)
-                or state.alloc.cbf.is_fully_addressable):
-            out["cbf"] = np.asarray(state.alloc.cbf)
+        if state.alloc.cbf is not None:
             out["cbf_shards"] = np.asarray(self.S, np.int32)
+            if (not isinstance(state.alloc.cbf, jax.Array)
+                    or state.alloc.cbf.is_fully_addressable):
+                out["cbf"] = np.asarray(state.alloc.cbf)
+            else:
+                # multi-process: save addressable sketch blocks (EV-path
+                # parity, saver.table_snapshot_host) — dropping them would
+                # reset admission counts only on multi-process restores
+                m = state.alloc.cbf.shape[0] // self.S
+                for s, blk in mh.addressable_blocks(
+                        state.alloc.cbf, self.S, m).items():
+                    out[f"cbf__shard{s:03d}"] = blk
         return out
 
     def restore_arrays(self, arrays: dict) -> DHTState:
         """Rebuild a (possibly differently-sharded) DHT from compacted
         arrays: keys route by the owner hash, ids re-allocate per shard."""
-        from jax.sharding import PartitionSpec as P
         from ..checkpoint.saver import route_to_shards
-        from ..sparse import hashtable as ht_mod
         import dataclasses as _dc
         n_max = int(np.ceil(arrays["keys"].shape[0] / self.S)) + 8
         while n_max > 0.7 * self.cap:
@@ -408,35 +414,21 @@ class DistributedHashTable:
             part = routed[s]
             st = hta.create(self.cap, self.admit)
             keys = K.from_numpy(part["keys"])
-            n = part["keys"].shape[0]
-            index, slots, _ = ht_mod.lookup_or_insert(st.index, keys,
-                                                      self.max_probes)
-            live = ~K.is_empty(keys) & (slots != self.cap)
-            new_ids = jnp.where(live, jnp.arange(n, dtype=jnp.int32), -1)
-            dest = jnp.where(live, slots, self.cap + 1)
-            ids_plane = st.ids.at[dest].set(new_ids, mode="drop",
-                                            unique_indices=True)
+            index, ids_plane, next_id, live, new_ids = hta.reinsert(
+                st, keys, self.max_probes)
             cbf = st.cbf
             if cbf is not None and "cbf" in part \
                     and part["cbf"].shape == cbf.shape:
                 cbf = jnp.asarray(part["cbf"], cbf.dtype)
             alloc = hta.HashTableState(
                 index=index, ids=ids_plane,
-                next_id=jnp.sum(live.astype(jnp.int32)).reshape(1), cbf=cbf)
+                next_id=next_id.reshape(1), cbf=cbf)
             row_dest = jnp.where(live, new_ids, self.cap + 1)
             rows = hta.tensible(self.cap, (self.dim,)).rows.at[row_dest].set(
                 jnp.asarray(part["values"], jnp.float32), mode="drop",
                 unique_indices=True)
             states.append(DHTState(alloc=alloc, table=hta.Tensible(rows)))
-
-        def stack(*leaves):
-            l0 = leaves[0]
-            if hasattr(l0, "ndim") and l0.ndim >= 1:
-                glob = np.concatenate([np.asarray(l) for l in leaves], 0)
-                return mh.host_to_global(self.mesh, P(self.axis), glob)
-            return mh.host_to_global(self.mesh, P(), leaves[0])
-
-        return jax.tree_util.tree_map(stack, *states)
+        return mh.stack_rowsharded(self.mesh, self.axis, states)
 
     def snapshot(self, state: DHTState):
         """(keys int64[n], global_ids int32[n]) across shards (reference

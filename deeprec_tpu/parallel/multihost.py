@@ -65,6 +65,23 @@ def host_to_global(mesh, spec, x):
                                         lambda idx: x[idx])
 
 
+def stack_rowsharded(mesh, axis, shard_trees):
+    """Stack per-shard host pytrees into the mesh's row-sharded global
+    arrays: leaves with ndim>=1 concatenate over shards onto P(axis);
+    scalars replicate (shard 0's value). The one definition of the
+    restore-time stacking rule — multi-process safe via host_to_global."""
+    from jax.sharding import PartitionSpec as P
+
+    def stack(*leaves):
+        l0 = leaves[0]
+        if hasattr(l0, "ndim") and l0.ndim >= 1:
+            glob = np.concatenate([np.asarray(l) for l in leaves], axis=0)
+            return host_to_global(mesh, P(axis), glob)
+        return host_to_global(mesh, P(), leaves[0])
+
+    return jax.tree_util.tree_map(stack, *shard_trees)
+
+
 def barrier(name: str = "deeprec") -> None:
     """Cross-process sync point (checkpoint part-file completion etc.).
     No-op on single-process runs."""

@@ -253,16 +253,12 @@ class TieredPredictor(Predictor):
         """Concatenate row dicts; on duplicate keys the LAST occurrence
         wins (parts are ordered oldest-first, and within one save tier
         rows precede device rows)."""
+        from ..checkpoint.saver import last_wins_sel
         keys = np.concatenate([p["keys"] for p in parts])
         vals = np.concatenate([p["values"] for p in parts])
         freqs = np.concatenate([p["freqs"] for p in parts])
         vers = np.concatenate([p["versions"] for p in parts])
-        # stable last-wins dedup
-        order = np.arange(len(keys))
-        srt = np.lexsort((order, keys))
-        ks = keys[srt]
-        last = np.r_[ks[1:] != ks[:-1], True]
-        sel = srt[last]
+        sel = last_wins_sel(keys)
         return keys[sel], vals[sel], freqs[sel], vers[sel]
 
     def _split_hot(self, coll, keys, vals, freqs, vers):
@@ -389,11 +385,18 @@ class TieredPredictor(Predictor):
         return jax.nn.sigmoid(logits)
 
     def predict(self, batch) -> np.ndarray:
-        dense, cats, _ = self._prepare(batch)
-        stage_idx, staging = {}, {}
+        # pack each collection's ids ONCE on host (the hot path) and reuse
+        # the array for both the staging probe and the device transfer
+        from ..feature_column import pack_dense
+        from ..sparse import keys as K
+        dense = (jnp.asarray(pack_dense(self.numeric_columns, batch))
+                 if self.numeric_columns else None)
+        cats, stage_idx, staging = {}, {}, {}
         for name, coll in self.collections.items():
-            flat = coll.pack_ids_np(batch).reshape(-1)
-            si, srows = self._stage_for(name, coll, flat)
+            flat_np = coll.pack_ids_np(batch)
+            hi, lo = K.split_np(flat_np)
+            cats[name] = K.Keys(jnp.asarray(hi), jnp.asarray(lo))
+            si, srows = self._stage_for(name, coll, flat_np.reshape(-1))
             stage_idx[name] = jnp.asarray(si)
             staging[name] = jnp.asarray(srows)
         if self.params is None:

@@ -113,6 +113,24 @@ def lookup_or_create(
     return state, jnp.where(K.is_empty(keys), -1, out)
 
 
+def reinsert(state: HashTableState, keys: K.Keys, max_probes: int = 32):
+    """Restore-time re-insertion into a FRESH state (the
+    HashTableDirectRestoreOp semantics, ops/hash_ops.cc:353-391): keys go
+    into the index, dense ids re-allocate COMPACTED in scan order — a
+    probe-overflowed key must not leave a gap, or ``next_id`` (= count of
+    live) would re-allocate an id already owned by a restored key.
+    Returns ``(index, ids_plane, next_id, live, new_ids)``; callers
+    scatter their rows at ``jnp.where(live, new_ids, cap + 1)``."""
+    cap = state.ids.shape[0]
+    index, slots, _ = ht.lookup_or_insert(state.index, keys, max_probes)
+    live = ~K.is_empty(keys) & (slots != cap)
+    new_ids = jnp.where(live, jnp.cumsum(live.astype(jnp.int32)) - 1, -1)
+    dest = jnp.where(live, slots, cap + 1)
+    ids_plane = state.ids.at[dest].set(new_ids, mode="drop",
+                                       unique_indices=True)
+    return index, ids_plane, jnp.sum(live.astype(jnp.int32)), live, new_ids
+
+
 def lookup(state: HashTableState, keys: K.Keys, max_probes: int = 32
            ) -> jax.Array:
     """Read-only id lookup; unknown keys -> -1."""

@@ -295,3 +295,40 @@ def test_hashtable_collection_checkpoint_roundtrip(tmp_path):
         int(np.asarray(st.tables["emb"].ev.alloc.next_id))
     st2 = tr2.train_step(st2, batch())
     assert np.isfinite(float(st2.metrics.loss_sum))
+
+
+class TestReinsertCompaction:
+    """Restore-time re-insertion (hta.reinsert) under probe overflow.
+
+    Regression: the old allocation gave a restored key its SCAN position as
+    its dense id (arange), so when an earlier key probe-overflowed the ids
+    had gaps while ``next_id`` (= live count) landed inside the live range —
+    the next post-restore insert handed out an id already owned by a
+    restored row. Reference semantics: HashTableDirectRestoreOp re-allocates
+    ids densely (ops/hash_ops.cc:353-391)."""
+
+    def test_ids_compact_and_next_id_fresh(self):
+        from deeprec_tpu.sparse import hash_table_api as hta
+
+        cap = 64
+        st = hta.create(cap)
+        keys = K.from_numpy(np.arange(1, 201, dtype=np.int64))
+        index, ids_plane, next_id, live, new_ids = hta.reinsert(
+            st, keys, max_probes=2)
+        live = np.asarray(live)
+        new_ids = np.asarray(new_ids)
+        n_live = int(live.sum())
+        # the probe bound must actually bite for this test to mean anything
+        assert 0 < n_live < 200
+        # live ids are exactly {0..n_live-1}: compact, no duplicates
+        np.testing.assert_array_equal(np.sort(new_ids[live]),
+                                      np.arange(n_live))
+        assert int(next_id) == n_live
+        # post-restore inserts allocate only UNUSED ids
+        st2 = hta.HashTableState(index=index, ids=ids_plane,
+                                 next_id=jnp.asarray(next_id, jnp.int32),
+                                 cbf=None)
+        fresh = K.from_numpy(np.arange(10**9, 10**9 + 8, dtype=np.int64))
+        st2, ids2 = hta.lookup_or_create(st2, fresh, max_probes=2)
+        got = np.asarray(ids2)
+        assert (got[got >= 0] >= n_live).all()
