@@ -22,6 +22,23 @@ from .layers import AUGRU, Dice, DINAttention, GRU
 from .ctr import concat_emb
 
 
+def _concat_item_eb(emb, seq, candidate_name, seq_name,
+                    candidate_context_names, seq_context_names):
+    """The reference's item_eb / item_his_eb construction
+    (modelzoo/DIN/script/model.py:36-43): candidate = concat(item, cate,
+    ...), each history position = concat(hist_item, hist_cate, ...). The
+    main sequence's mask governs (context sequences share its padding)."""
+    cand = emb[candidate_name]
+    if candidate_context_names:
+        cand = jnp.concatenate(
+            [cand] + [emb[n] for n in candidate_context_names], axis=-1)
+    hist, mask = seq[seq_name]
+    if seq_context_names:
+        hist = jnp.concatenate(
+            [hist] + [seq[n][0] for n in seq_context_names], axis=-1)
+    return cand, (hist, mask)
+
+
 class DIN(nn.Module):
     """Deep Interest Network: DIN attention pools the behaviour sequence
     against the candidate item; MLP with Dice activations scores the CTR."""
@@ -29,14 +46,21 @@ class DIN(nn.Module):
     candidate_name: str      # key in emb: the candidate item embedding
     seq_name: str            # key in seq: behaviour history
     context_names: Sequence[str] = ()
+    # Reference DIN scores concat(item, cate) against per-position
+    # concat(hist_item, hist_cate) (model.py: item_eb = concat(mid, cat),
+    # item_his_eb = concat(mid_his, cat_his)) — these name the extra
+    # embeddings concatenated onto the candidate / each sequence position.
+    candidate_context_names: Sequence[str] = ()
+    seq_context_names: Sequence[str] = ()
     hidden_units: Sequence[int] = (200, 80)
     att_units: Sequence[int] = (80, 40)
     activation: str = "dice"  # dice | relu | sigmoid (reference uses dice)
 
     @nn.compact
     def __call__(self, dense, emb, seq, train=True):
-        cand = emb[self.candidate_name]
-        hist, mask = seq[self.seq_name]
+        cand, (hist, mask) = _concat_item_eb(
+            emb, seq, self.candidate_name, self.seq_name,
+            self.candidate_context_names, self.seq_context_names)
         pooled = DINAttention(self.att_units)(cand, hist, mask)
         sum_pool = jnp.sum(hist * mask[..., None], axis=1)
         parts = [cand, pooled, sum_pool, cand * pooled]
@@ -65,6 +89,10 @@ class DIEN(nn.Module):
     candidate_name: str
     seq_name: str
     context_names: Sequence[str] = ()
+    # per-position concat, like DIN (reference DIEN runs its GRU/AUGRU and
+    # auxiliary net over concat(item, cate) embeddings, model.py item_his_eb)
+    candidate_context_names: Sequence[str] = ()
+    seq_context_names: Sequence[str] = ()
     gru_units: int = 36
     hidden_units: Sequence[int] = (200, 80)
     att_units: Sequence[int] = (80, 40)
@@ -72,8 +100,9 @@ class DIEN(nn.Module):
 
     @nn.compact
     def __call__(self, dense, emb, seq, train=True, return_aux=False):
-        cand = emb[self.candidate_name]
-        hist, mask = seq[self.seq_name]
+        cand, (hist, mask) = _concat_item_eb(
+            emb, seq, self.candidate_name, self.seq_name,
+            self.candidate_context_names, self.seq_context_names)
         B, L, d = hist.shape
         states = GRU(self.gru_units, name="interest_extractor")(hist, mask)
 

@@ -27,11 +27,20 @@ def build(args) -> cli.ModelSpec:
         fc.EmbeddingColumn(
             fc.CategoricalColumn("item", shared_embedding="item_space"),
             args.emb_dim),
-        fc.EmbeddingColumn(fc.CategoricalColumn("cate"), args.emb_dim),
+        # candidate cate and history cates SHARE rows (reference
+        # shared_embedding_columns; DIEN's GRU/AUGRU/aux net all run over
+        # concat(item, cate) per position, script/model.py item_his_eb)
+        fc.EmbeddingColumn(
+            fc.CategoricalColumn("cate", shared_embedding="cate_space"),
+            args.emb_dim),
         fc.EmbeddingColumn(fc.CategoricalColumn("uid"), args.emb_dim),
         fc.SequenceEmbeddingColumn(
             fc.CategoricalColumn("hist_item", max_length=MAX_LEN,
                                  shared_embedding="item_space"),
+            args.emb_dim),
+        fc.SequenceEmbeddingColumn(
+            fc.CategoricalColumn("hist_cate", max_length=MAX_LEN,
+                                 shared_embedding="cate_space"),
             args.emb_dim),
     ]
     coll = fc.EmbeddingCollection(
@@ -39,7 +48,8 @@ def build(args) -> cli.ModelSpec:
         initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
     model = sequence.DIEN(
         candidate_name="item", seq_name="hist_item",
-        context_names=["cate", "uid"], gru_units=args.emb_dim,
+        candidate_context_names=["cate"], seq_context_names=["hist_cate"],
+        context_names=["uid"], gru_units=2 * args.emb_dim,
         hidden_units=(200, 80), att_units=(80, 40), use_aux_loss=True)
     return cli.ModelSpec(
         name="DIEN", model=model, numeric_columns=[],

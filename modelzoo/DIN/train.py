@@ -23,23 +23,31 @@ def build(args) -> cli.ModelSpec:
         fc.EmbeddingColumn(
             fc.CategoricalColumn("item", shared_embedding="item_space"),
             args.emb_dim),
-        fc.EmbeddingColumn(fc.CategoricalColumn("cate"), args.emb_dim),
+        # candidate cate and history cates SHARE rows (reference
+        # shared_embedding_columns, DIN/script/train.py cat_his joins the
+        # candidate's category space)
+        fc.EmbeddingColumn(
+            fc.CategoricalColumn("cate", shared_embedding="cate_space"),
+            args.emb_dim),
         fc.EmbeddingColumn(fc.CategoricalColumn("uid"), args.emb_dim),
         fc.SequenceEmbeddingColumn(
             fc.CategoricalColumn("hist_item", max_length=MAX_LEN,
                                  shared_embedding="item_space"),
             args.emb_dim),
-        fc.EmbeddingColumn(
+        fc.SequenceEmbeddingColumn(
             fc.CategoricalColumn("hist_cate", max_length=MAX_LEN,
                                  shared_embedding="cate_space"),
-            args.emb_dim, combiner="mean"),
+            args.emb_dim),
     ]
     coll = fc.EmbeddingCollection(
         cols, name="emb", capacity=args.capacity,
         initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
     model = sequence.DIN(
         candidate_name="item", seq_name="hist_item",
-        context_names=["cate", "uid", "hist_cate"],
+        # attention over per-position [item; cate] against [cand; cate]
+        # (reference item_eb/item_his_eb concat, DIN/script/model.py:36-43)
+        candidate_context_names=["cate"], seq_context_names=["hist_cate"],
+        context_names=["uid"],
         hidden_units=(200, 80), att_units=(80, 40))
     return cli.ModelSpec(
         name="DIN", model=model, numeric_columns=[],

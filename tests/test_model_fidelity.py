@@ -91,3 +91,64 @@ def test_dien_aux_net_is_shared():
     flat = variables["params"]
     assert "aux_proj" in flat
     assert "aux_proj_n" not in flat
+
+
+def test_din_attends_over_item_cate_concat():
+    """Reference DIN scores concat(item, cate) against per-position
+    concat(hist_item, hist_cate) (model.py:36-43 item_eb/item_his_eb);
+    with seq_context_names the history categories must change the logits
+    (they were previously mean-pooled context only, and DIEN dropped
+    them entirely)."""
+    from deeprec_tpu.models.sequence import DIN
+
+    m = DIN(candidate_name="item", seq_name="hist_item",
+            candidate_context_names=["cate"],
+            seq_context_names=["hist_cate"], context_names=["uid"],
+            hidden_units=(16,), att_units=(8,))
+    B, L, d = 4, 6, 8
+    rng = np.random.default_rng(0)
+    emb = {"item": jnp.asarray(rng.normal(size=(B, d)), jnp.float32),
+           "cate": jnp.asarray(rng.normal(size=(B, d)), jnp.float32),
+           "uid": jnp.asarray(rng.normal(size=(B, d)), jnp.float32)}
+    mask = jnp.asarray(np.arange(L)[None, :] < np.array([3, 6, 4, 5])[:, None])
+    hi = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    hc = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    seq = {"hist_item": (hi, mask), "hist_cate": (hc, mask)}
+    params = m.init(jax.random.key(0), None, emb, seq, train=False)
+    out = m.apply(params, None, emb, seq, train=False)
+    assert out.shape == (B,)
+    # history categories are consumed per-position: permuting them inside
+    # the valid region changes the logits
+    hc2 = jnp.concatenate([hc[:, 1:2], hc[:, 0:1], hc[:, 2:]], axis=1)
+    out2 = m.apply(params, None, emb,
+                   {"hist_item": (hi, mask), "hist_cate": (hc2, mask)},
+                   train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # ...but permuting PADDED positions does not
+    hc3 = hc.at[:, L - 1].set(rng.normal(size=(B, d)))
+    m0 = jnp.asarray(np.arange(L)[None, :] < np.full((B,), L - 1)[:, None])
+    a = m.apply(params, None, emb, {"hist_item": (hi, m0), "hist_cate": (hc, m0)}, train=False)
+    b = m.apply(params, None, emb, {"hist_item": (hi, m0), "hist_cate": (hc3, m0)}, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_modelzoo_din_dien_share_cate_space():
+    """Candidate cate and hist_cate join ONE embedding group in both
+    sequence modelzoo trainers (reference shared_embedding_columns)."""
+    import importlib.util as iu
+
+    for name in ("DIN", "DIEN"):
+        spec = iu.spec_from_file_location(
+            f"mz_{name}", f"modelzoo/{name}/train.py")
+        mod = iu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        p = mod.cli.base_parser("t")
+        p.set_defaults(optimizer="adam")
+        args = p.parse_args([])
+        ms = mod.build(args)
+        coll = ms.collections["emb"]
+        groups = {c.categorical.name:
+                  (c.categorical.shared_embedding or c.categorical.name)
+                  for c in coll.columns}
+        assert groups["cate"] == groups["hist_cate"], (name, groups)
+        assert groups["item"] == groups["hist_item"], (name, groups)
