@@ -182,4 +182,9 @@ class EmbeddingVariableConfig:
     def version_tracked(self) -> bool:
         if self.track_version is not None:
             return self.track_version
-        return self.evict is not None
+        # tiered storage ranks demotion coldness by the version (last-touch
+        # step) plane and reconciles tier rows against device rows by
+        # version on restore — a tiered table must stamp versions even
+        # with no eviction policy configured
+        return (self.evict is not None
+                or self.storage.storage_type is not StorageType.HBM)

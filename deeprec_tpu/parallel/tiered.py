@@ -166,19 +166,24 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
 
     # -- demotion ---------------------------------------------------------------
     def maybe_demote(self, state: TrainState) -> TrainState:
-        """Per-shard policy-cold rows -> host tier (full payload); each
-        shard shrinks. Multi-process: every process demotes only its
-        addressable shards into its own tier; the shrink decision is agreed
-        globally (the shard_map rebuild is a collective every process must
-        enter)."""
+        """Per-shard cold rows -> host tier (full payload); each shard
+        shrinks. "Cold" = eviction policy + HBM-budget pressure
+        (``StorageOption.hbm_capacity`` is the TOTAL resident-row budget
+        for the table, split evenly across the S shards — LRU by version,
+        freq tiebreak, like the single-device path). Multi-process: every
+        process demotes only its addressable shards into its own tier; the
+        shrink decision is agreed globally (the shard_map rebuild is a
+        collective every process must enter)."""
         new_tables = dict(state.tables)
         changed = False
         gs = int(state.step)
         for name in list(self.tiers):
             coll = self.collections[name]
             cfg = coll.config
-            if cfg.evict is None:
+            budget = cfg.storage.hbm_capacity
+            if cfg.evict is None and budget <= 0:
                 continue
+            shard_budget = max(1, budget // self.S) if budget > 0 else 0
             bundle = new_tables[name]
             cap1 = cfg.capacity + 1
             cap = cfg.capacity
@@ -202,10 +207,14 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
                         for i in range(len(leaves))]
 
             any_cold = False
+            keep_local = []
             for s in sorted(key_hi):
                 occupied = ~((key_hi[s] == -1) & (key_lo[s] == -1))
                 cold = ev.cold_mask_np(cfg, values[s], versions[s],
                                        occupied, gs)
+                cold = ev.budget_cold_np(cfg, versions[s], freqs[s],
+                                         occupied, cold, shard_budget)
+                keep_local.append(~cold)
                 if not cold.any():
                     continue
                 any_cold = True
@@ -220,11 +229,17 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
                 self.tiers[name].upsert(keys64, payload)
             if not mh.all_max(int(any_cold)):
                 continue
-            new_tables[name] = self._shrink_sharded(name, bundle, gs)
+            new_tables[name] = self._shrink_sharded(
+                name, bundle, gs, np.stack(keep_local))
             changed = True
         return state._replace(tables=new_tables) if changed else state
 
-    def _shrink_sharded(self, name, bundle: TableBundle, gs: int):
+    def _shrink_sharded(self, name, bundle: TableBundle, gs: int,
+                        keep_local: np.ndarray):
+        """``keep_local`` is [S_local, cap] bool — each shard drops exactly
+        the rows its process just exported to the tier (the host-side cold
+        predicate is authoritative; recomputing it on device could diverge
+        on the float L2 norm and strand a row in both tiers)."""
         coll = self.collections[name]
         cfg = coll.config
         fills = self.sparse_optimizers[name].fills
@@ -232,19 +247,21 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
         if fn_key not in self._demote_fns:
             bundle_spec = self._bundle_spec(name)
 
-            def per_shard(bundle, step):
-                new_ev, perm = ev.shrink(bundle.ev, cfg, step[0])
+            def per_shard(bundle, step, keep):
+                new_ev, perm = ev.shrink(bundle.ev, cfg, step[0],
+                                         keep_mask=keep[0])
                 slot = permute_slot_state(bundle.slot, perm, cfg.capacity,
                                           fills=fills)
                 return bundle._replace(ev=new_ev, slot=slot)
 
             self._demote_fns[fn_key] = jax.jit(jax.shard_map(
                 per_shard, mesh=self.mesh,
-                in_specs=(bundle_spec, P(self.axis)),
+                in_specs=(bundle_spec, P(self.axis), P(self.axis, None)),
                 out_specs=bundle_spec, check_vma=False))
         steps = mh.host_to_global(self.mesh, P(self.axis),
                                   np.full((self.S,), gs, np.int32))
-        return self._demote_fns[fn_key](bundle, steps)
+        keep = mh.globalize(self.mesh, P(self.axis, None), keep_local)
+        return self._demote_fns[fn_key](bundle, steps, keep)
 
     def host_tier_rows(self, name: str) -> int:
         kv = self.tiers.get(name)

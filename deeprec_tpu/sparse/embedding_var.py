@@ -324,21 +324,30 @@ def shrink(
     config: EmbeddingVariableConfig,
     global_step: jax.Array,
     new_capacity: int | None = None,
+    keep_mask: jax.Array | None = None,
 ) -> Tuple[EVState, jax.Array]:
     """Apply the eviction policy and rebuild the index (checkpoint-time
     Shrink, embedding_var.h:264-313). Returns (state, old_to_new) — apply
-    ``old_to_new`` to optimizer slot rows via :func:`permute_rows`."""
+    ``old_to_new`` to optimizer slot rows via :func:`permute_rows`.
+
+    ``keep_mask`` ([capacity] bool) REPLACES the policy predicate when
+    given — the caller decided which rows stay (e.g. the tiered trainers'
+    combined policy+HBM-budget cold selection, which must match the rows
+    they exported to the host tier)."""
     cap = state.capacity
     occ = ht.occupied_mask(state.index)
     keep = occ
-    pol = config.evict
     gs = jnp.asarray(global_step, jnp.int32)
-    if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
-        keep = keep & (gs - state.versions[:cap] < pol.steps_to_live)
-    elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
-        vals = state.values[:cap, : config.embedding_dim]
-        norms = jnp.sum(vals * vals, axis=-1)
-        keep = keep & (norms >= pol.l2_weight_threshold)
+    if keep_mask is not None:
+        keep = keep & keep_mask
+    else:
+        pol = config.evict
+        if isinstance(pol, GlobalStepEvict) and pol.steps_to_live > 0:
+            keep = keep & (gs - state.versions[:cap] < pol.steps_to_live)
+        elif isinstance(pol, L2WeightEvict) and pol.l2_weight_threshold > 0:
+            vals = state.values[:cap, : config.embedding_dim]
+            norms = jnp.sum(vals * vals, axis=-1)
+            keep = keep & (norms >= pol.l2_weight_threshold)
     new_cap = new_capacity or cap
     new_index, old_to_new = ht.rebuild(state.index, keep, new_cap, config.max_probes)
     new_state = EVState(
@@ -446,6 +455,28 @@ def cold_mask_np(config: EmbeddingVariableConfig, values_np, versions_np,
         v = _np.asarray(values_np[:cap, : config.embedding_dim], _np.float64)
         cold = occupied_np & (_np.sum(v * v, -1) < pol.l2_weight_threshold)
     return cold
+
+
+def budget_cold_np(config: EmbeddingVariableConfig, versions_np, freqs_np,
+                   occupied_np, policy_cold_np, hbm_budget: int):
+    """HBM-budget pressure demotion on top of the policy predicate: if
+    more than ``hbm_budget`` rows would stay resident, the least-recently
+    -touched of them (version ascending, freq as the tiebreak — the
+    reference's BatchCache LRU over ValuePtrs, embedding/cache.h) are
+    forced cold too. Returns the combined cold mask."""
+    import numpy as _np
+    if hbm_budget <= 0:
+        return policy_cold_np
+    live = occupied_np & ~policy_cold_np
+    excess = int(live.sum()) - int(hbm_budget)
+    if excess <= 0:
+        return policy_cold_np
+    idx = _np.nonzero(live)[0]
+    cap = occupied_np.shape[0]
+    order = _np.lexsort((freqs_np[:cap][idx], versions_np[:cap][idx]))
+    out = policy_cold_np.copy()
+    out[idx[order[:excess]]] = True
+    return out
 
 
 class Snapshot(NamedTuple):

@@ -105,7 +105,10 @@ class TieredTable:
                       | np.asarray(state.index.key_lo)[idx].astype(np.uint32).astype(np.int64))
             self._host(values_np.shape[1]).upsert(
                 keys64, values_np[idx].astype(np.float32))
-        new_state, old_to_new = ev.shrink(state, cfg, jnp.asarray(gs, jnp.int32))
+        # drop exactly the exported rows (host predicate authoritative —
+        # a device-recomputed L2 norm could diverge on float rounding)
+        new_state, old_to_new = ev.shrink(state, cfg, jnp.asarray(gs, jnp.int32),
+                                          keep_mask=jnp.asarray(~cold))
         return new_state, old_to_new
 
     # -- full lookup-or-create with tier promotion ----------------------------

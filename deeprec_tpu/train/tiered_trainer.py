@@ -168,25 +168,34 @@ class TieredTrainer(TierCheckpointMixin, Trainer):
 
     # -- demotion --------------------------------------------------------------
     def maybe_demote(self, state: TrainState) -> TrainState:
-        """Export policy-cold rows (values+meta+slot rows) to the host tier
-        and shrink HBM. Call between steps at whatever cadence the eviction
-        policy implies (e.g. every steps_to_live/2 steps)."""
+        """Export cold rows (values+meta+slot rows) to the host tier and
+        shrink HBM. "Cold" is the eviction-policy predicate PLUS HBM-budget
+        pressure: when ``StorageOption.hbm_capacity`` caps resident rows,
+        the least-recently-touched surviving rows are demoted too (the
+        reference's BatchCache LRU over multi-tier ValuePtrs,
+        embedding/cache.h) — so a table can tier with NO eviction policy at
+        all. Call between steps at whatever cadence the policy implies
+        (e.g. every steps_to_live/2 steps)."""
         new_tables = dict(state.tables)
         changed = False
         gs = int(state.step)
         for name in list(self.tiers):
             coll = self.collections[name]
             cfg = coll.config
-            if cfg.evict is None:
+            budget = cfg.storage.hbm_capacity
+            if cfg.evict is None and budget <= 0:
                 continue
             bundle = new_tables[name]
             key_hi = np.asarray(bundle.ev.index.key_hi)
             key_lo = np.asarray(bundle.ev.index.key_lo)
             occupied = ~((key_hi == -1) & (key_lo == -1))
             versions = np.asarray(bundle.ev.versions)
+            freqs = np.asarray(bundle.ev.freqs)
             # the ONE cold predicate (shared with shrink / checkpoint save)
             cold = ev.cold_mask_np(cfg, np.asarray(bundle.ev.values),
                                    versions, occupied, gs)
+            cold = ev.budget_cold_np(cfg, versions, freqs, occupied, cold,
+                                     budget)
             if not cold.any():
                 continue
             idx = np.nonzero(cold)[0]
@@ -197,13 +206,17 @@ class TieredTrainer(TierCheckpointMixin, Trainer):
                 self.tiers[name] = self._make_tier(name, spec.width)
             payload = TP.pack_np(
                 spec, idx, np.asarray(bundle.ev.values),
-                np.asarray(bundle.ev.freqs), versions,
+                freqs, versions,
                 np.asarray(bundle.ev.create_steps),
                 [np.asarray(l) for l in jax.tree_util.tree_leaves(bundle.slot)])
             self.tiers[name].upsert(keys64, payload)
 
+            # shrink drops EXACTLY the rows just exported (keep_mask), so
+            # budget-demoted rows leave HBM and the tier can never hold a
+            # row that still trains on device
             new_ev, perm = ev.shrink(bundle.ev, cfg,
-                                     jnp.asarray(gs, jnp.int32))
+                                     jnp.asarray(gs, jnp.int32),
+                                     keep_mask=jnp.asarray(~cold))
             slot = permute_slot_state(bundle.slot, perm, cfg.capacity,
                                       fills=self.sparse_optimizers[name].fills)
             new_tables[name] = bundle._replace(ev=new_ev, slot=slot)

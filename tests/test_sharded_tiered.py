@@ -60,6 +60,44 @@ def global_rows(tr, state, ids):
     return np.asarray(found), out
 
 
+def test_sharded_budget_pressure_demotion():
+    """``hbm_capacity`` (total across the mesh) splits into per-shard
+    budgets; with NO eviction policy every shard demotes its LRU excess
+    and the rows return intact when their ids recur."""
+    from deeprec_tpu.checkpoint.saver import table_snapshot_host
+    cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8) for n in CATS]
+    coll = fc.EmbeddingCollection(
+        cols, name="emb", capacity=256,
+        initializer=dr.Initializer("normal", scale=0.1),
+        storage=StorageOption(storage_type=StorageType.HBM_DRAM,
+                              hbm_capacity=8))
+    model = ctr.DCN(emb_names=CATS, cross_layers=1, deep_units=(16,))
+    tr = TieredShardedTrainer(
+        model=model, numeric_columns=[fc.NumericColumn("I1")],
+        collections={"emb": coll},
+        sparse_optimizers={"emb": sopt.sparse_adagrad(0.1)},
+        dense_optimizer=optax.adagrad(0.05), mesh=make_mesh(4))
+    ids1, ids2 = [1, 2, 3, 4], [5, 6, 7, 8]
+    state = tr.init(jax.random.key(0), batch_with(ids1))
+    state = tr.train_step(state, batch_with(ids1))
+    state = tr.train_step(state, batch_with(ids2))
+    found, rows_before = global_rows(tr, state, ids1 + ids2)
+    assert found.all()
+    state = tr.maybe_demote(state)
+    assert tr.host_tier_rows("emb") > 0
+    # per-shard enforcement bounds the global resident count by the budget
+    snap = table_snapshot_host(coll.config, state.tables["emb"].ev,
+                               state.tables["emb"].slot, num_shards=tr.S,
+                               evict=False)
+    assert len(snap["keys"]) <= 8
+    # every id recurs; the demoted ones promote back bit-intact
+    state = tr._promote_for_batch(state, batch_with(ids1 + ids2))
+    found, rows_after = global_rows(tr, state, ids1 + ids2)
+    assert found.all()
+    for b, a in zip(rows_before, rows_after):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_sharded_demote_promote_roundtrip():
     tr = make_trainer()
     cold_ids, hot_ids = [11, 12, 13], [77, 78, 79]

@@ -111,3 +111,60 @@ def test_training_consistency_with_and_without_tier():
     _, v1, _ = snapshot_rows(tr, s1, [1, 2, 3, 4])
     _, v2, _ = snapshot_rows(plain, s2, [1, 2, 3, 4])
     np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
+def test_budget_pressure_demotion_without_evict_policy():
+    """``StorageOption.hbm_capacity`` caps resident rows with NO eviction
+    policy configured: maybe_demote moves the least-recently-touched rows
+    (LRU by version, freq tiebreak) to the host tier — the reference's
+    BatchCache pressure demotion over multi-tier ValuePtrs
+    (embedding/cache.h) — and they come back intact on recurrence."""
+    cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8) for n in CATS]
+    coll = fc.EmbeddingCollection(
+        cols, name="emb", capacity=256,
+        initializer=dr.Initializer("normal", scale=0.1),
+        storage=StorageOption(storage_type=StorageType.HBM_DRAM,
+                              hbm_capacity=8))
+    model = ctr.DCN(emb_names=CATS, cross_layers=1, deep_units=(16,))
+    tr = TieredTrainer(
+        model=model, numeric_columns=[fc.NumericColumn("I1")],
+        collections={"emb": coll},
+        sparse_optimizers={"emb": sopt.sparse_adagrad(0.1)},
+        dense_optimizer=optax.adagrad(0.05))
+    old_ids, new_ids = [1, 2, 3, 4], [5, 6, 7, 8]
+    state = tr.init(jax.random.key(0), batch_with(old_ids))
+    state = tr.train_step(state, batch_with(old_ids))   # 8 rows (2 cols x 4)
+    found, vals_before, acc_before = snapshot_rows(tr, state, old_ids)
+    assert found.all()
+    state = tr.train_step(state, batch_with(new_ids))   # 16 resident > 8
+    state = tr.maybe_demote(state)
+    # the oldest-touched rows left HBM; the freshly-touched ones stayed
+    found_old, _, _ = snapshot_rows(tr, state, old_ids)
+    found_new, _, _ = snapshot_rows(tr, state, new_ids)
+    assert not found_old.any()
+    assert found_new.all()
+    assert tr.host_tier_rows("emb") == 8
+    # recurrence promotes back with values AND optimizer state intact
+    state = tr._promote_for_batch(state, batch_with(old_ids))
+    found, vals_after, acc_after = snapshot_rows(tr, state, old_ids)
+    assert found.all()
+    np.testing.assert_allclose(vals_after, vals_before, atol=1e-6)
+    np.testing.assert_allclose(acc_after, acc_before, atol=1e-4)
+
+
+def test_tiered_storage_implies_version_tracking():
+    """Demotion ranks coldness by the version plane and tier restore
+    reconciles by version — a tiered table with NO eviction policy must
+    still stamp versions (the light layout would rank garbage)."""
+    import deeprec_tpu as dr
+    from deeprec_tpu import feature_column as fc
+    from deeprec_tpu.config import StorageOption, StorageType
+
+    col = fc.EmbeddingColumn(fc.CategoricalColumn("c"), 4)
+    coll = fc.EmbeddingCollection(
+        [col], name="e", capacity=64,
+        storage=StorageOption(StorageType.HBM_DRAM))
+    assert coll.config.version_tracked
+    # plain HBM table without evict/filter stays light
+    coll2 = fc.EmbeddingCollection([col], name="e2", capacity=64)
+    assert not coll2.config.version_tracked
