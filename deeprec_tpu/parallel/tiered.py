@@ -66,7 +66,21 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
         return TP.spec(bundle.ev.values.shape[-1], bundle.slot, self.S * cap1)
 
     # -- promotion ------------------------------------------------------------
+    def prepare_probe(self, batch) -> Dict[str, np.ndarray]:
+        """Process-local tier-probe ids per tiered table (pure numpy — safe
+        in prefetch worker threads). Collectives happen in
+        :meth:`promote_packed`, NOT here."""
+        out = {}
+        for name in self.tiers:
+            ids = np.unique(self.collections[name].pack_ids_np(batch))
+            out[name] = ids[ids != -1]
+        return out
+
     def _promote_for_batch(self, state: TrainState, batch) -> TrainState:
+        return self.promote_packed(state, self.prepare_probe(batch))
+
+    def promote_packed(self, state: TrainState,
+                       probe: Dict[str, np.ndarray]) -> TrainState:
         """Probe the host tier(s) for the batch's ids; promote hits onto
         their owner shards. Multi-process: tiers are per-process and hold
         only locally-owned keys, but the batch is per-process too — the ids
@@ -80,9 +94,7 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
             # global skip: no process has tier rows for this table
             if mh.all_max(len(kv) if kv is not None else 0) == 0:
                 continue
-            coll = self.collections[name]
-            ids = np.unique(coll.pack_ids_np(batch))
-            ids = mh.allgather_varlen(ids[ids != -1])
+            ids = mh.allgather_varlen(probe[name])
             ids = np.unique(ids)
             if kv is not None and len(kv):
                 payload, found = kv.lookup(ids)

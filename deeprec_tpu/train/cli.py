@@ -14,6 +14,8 @@ Flag parity map (reference flag -> here):
   --protocol grpc/grpc++/star     --mesh N (collectives replace RPC)
   --save_steps + incremental      --save_secs / --incr_save_secs
   --ev / filters / eviction       --ev_filter_freq / --ev_evict_steps
+  StorageOption(DRAM/PMEM/SSD)    --ev_storage hbm_dram[_ssd] +
+  (modelzoo/features/pmem)          --ev_hbm_capacity / --ev_dram_budget
   --timeline                      --profile DIR (jax.profiler trace)
   WorkQueue                       --workqueue DIR over input files
 """
@@ -67,6 +69,23 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--incr_save_secs", type=float, default=None)
     p.add_argument("--ev_filter_freq", type=int, default=0)
     p.add_argument("--ev_evict_steps", type=int, default=0)
+    p.add_argument("--ev_storage", default="hbm",
+                   choices=["hbm", "hbm_dram", "hbm_dram_ssd"],
+                   help="multi-tier embedding storage (reference "
+                        "StorageType; modelzoo/features/pmem analog)")
+    p.add_argument("--ev_hbm_capacity", type=int, default=0,
+                   help="device-resident row budget per table (0 = "
+                        "unbounded); excess LRU rows demote to the host "
+                        "tier at --demote_steps cadence")
+    p.add_argument("--ev_dram_budget", type=int, default=0,
+                   help="hbm_dram_ssd: host-DRAM row cap before the "
+                        "coldest rows spill to disk")
+    p.add_argument("--ev_ssd_path", default="",
+                   help="backing file for the SSD tier")
+    p.add_argument("--demote_steps", type=int, default=0,
+                   help="steps between host-tier demotion sweeps "
+                        "(0 = every ev_evict_steps/2, else every "
+                        "10*log_steps)")
     p.add_argument("--max_unique_ratio", type=float, default=0.25,
                    help="static dedup-width cap as a fraction of the flat "
                         "id width (0 = exact dedup; see ops/unique.py)")
@@ -100,6 +119,13 @@ def ev_kwargs(args) -> dict:
         # version-delta incrementals need version stamps even on tables
         # with no eviction policy (else the light layout skips them)
         kw["track_version"] = True
+    if getattr(args, "ev_storage", "hbm") != "hbm":
+        from ..config import StorageOption, StorageType
+        kw["storage"] = StorageOption(
+            storage_type=StorageType(args.ev_storage),
+            hbm_capacity=args.ev_hbm_capacity,
+            dram_row_budget=args.ev_dram_budget,
+            ssd_path=args.ev_ssd_path)
     return kw
 
 
@@ -215,9 +241,20 @@ def run(spec: ModelSpec, args) -> dict:
         dense_optimizer=make_dense_opt(args), forward=spec.forward,
         aux_loss_weight=spec.aux_loss_weight,
     )
+    from ..config import StorageType
+    tiered = any(c.config.storage.storage_type is not StorageType.HBM
+                 for c in spec.collections.values())
     if args.mesh:
-        tr = ShardedTrainer(mesh=make_mesh(args.mesh),
-                            microbatches=args.micro_batch, **common)
+        if tiered:
+            from ..parallel.tiered import TieredShardedTrainer
+            tr = TieredShardedTrainer(mesh=make_mesh(args.mesh),
+                                      microbatches=args.micro_batch, **common)
+        else:
+            tr = ShardedTrainer(mesh=make_mesh(args.mesh),
+                                microbatches=args.micro_batch, **common)
+    elif tiered:
+        from .tiered_trainer import TieredTrainer
+        tr = TieredTrainer(microbatches=args.micro_batch, **common)
     else:
         tr = Trainer(microbatches=args.micro_batch, **common)
 
@@ -240,14 +277,28 @@ def run(spec: ModelSpec, args) -> dict:
         from .summary import SummaryWriter
         writer = SummaryWriter(args.summary_dir)
 
+    # multi-tier tables: probe ids are computed in the prefetch workers
+    # (pure numpy) and promoted on the main thread right before the step;
+    # demotion sweeps run at fence points every demote_steps
+    demote_steps = 0
+    prepare = tr.prepare_batch
+    if tiered:
+        demote_steps = args.demote_steps or (
+            args.ev_evict_steps // 2 if args.ev_evict_steps
+            else 10 * args.log_steps)
+        prepare = lambda b: (tr.prepare_batch(b), tr.prepare_probe(b))
+
     t0 = time.perf_counter()
     done = 0
     last_health = {}
     import itertools
     stream = itertools.chain([first], train_it)
-    with staged(itertools.islice(stream, args.steps), prepare=tr.prepare_batch,
+    with staged(itertools.islice(stream, args.steps), prepare=prepare,
                 depth=args.prefetch_depth, workers=args.prefetch_workers) as pf:
         for packed in pf:
+            if tiered:
+                packed, probe = packed
+                state = tr.promote_packed(state, probe)
             state = tr._jit_train(state, *packed)
             done += 1
             if done % args.log_steps == 0:
@@ -280,6 +331,15 @@ def run(spec: ModelSpec, args) -> dict:
                 # silent-degradation watchdog: bucket drops / dedup-cap
                 # saturation are invisible in the loss until quality rots
                 last_health = _check_health(tr, state, writer, last_health)
+                if demote_steps and (done // args.log_steps) % max(
+                        demote_steps // args.log_steps, 1) == 0:
+                    state = tr.maybe_demote(state)
+                    rows = {n: tr.host_tier_rows(n) for n in tr.tiers}
+                    if any(rows.values()):
+                        print("host tier rows: " + ", ".join(
+                            f"{n}={c}" for n, c in rows.items()))
+                        if writer:
+                            writer.write(int(state.step), rows, phase="tier")
     jax.block_until_ready(state.step)
     train_secs = time.perf_counter() - t0
 

@@ -121,15 +121,29 @@ class TieredTrainer(TierCheckpointMixin, Trainer):
         cap1 = coll.config.capacity + 1
         return TP.spec(bundle.ev.values.shape[1], bundle.slot, cap1)
 
+    def prepare_probe(self, batch) -> Dict[str, np.ndarray]:
+        """Host-side tier-probe ids for each tiered table (pure numpy —
+        safe to run in prefetch worker threads alongside prepare_batch).
+        Feed the result to :meth:`promote_packed` before the jitted step
+        when driving ``_jit_train`` directly (the CLI's staged pipeline);
+        :meth:`train_step` does both for you."""
+        out = {}
+        for name in self.tiers:
+            ids = np.unique(self.collections[name].pack_ids_np(batch))
+            out[name] = ids[ids != -1]
+        return out
+
     def _promote_for_batch(self, state: TrainState, batch) -> TrainState:
+        return self.promote_packed(state, self.prepare_probe(batch))
+
+    def promote_packed(self, state: TrainState,
+                       probe: Dict[str, np.ndarray]) -> TrainState:
         new_tables = dict(state.tables)
         changed = False
         for name, kv in self.tiers.items():
             if kv is None or len(kv) == 0:
                 continue
-            coll = self.collections[name]
-            ids = np.unique(coll.pack_ids_np(batch))
-            ids = ids[ids != -1]
+            ids = probe[name]
             payload, found = kv.lookup(ids)
             if not found.any():
                 continue

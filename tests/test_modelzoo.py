@@ -73,3 +73,44 @@ def test_checkpoint_flag_roundtrip(tmp_path):
     args2 = cli.base_parser("t").parse_args(base)
     out2 = cli.run(mod.build(args2), args2)
     assert out2["steps"] == out1["steps"] + 2
+
+
+def test_tiered_storage_flags():
+    """--ev_storage hbm_dram + --ev_hbm_capacity runs the TieredTrainer
+    through the shared CLI: budget-pressure demotion sweeps move LRU rows
+    to the host tier mid-run and the loop keeps training (the reference's
+    modelzoo/features/pmem StorageOption workflow)."""
+    from deeprec_tpu.utils.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    mod = importlib.import_module("modelzoo.DLRM.train")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "30", "--batch_size", "64", "--eval_steps", "1",
+        "--capacity", "2048", "--emb_dim", "4", "--log_steps", "10",
+        "--ev_storage", "hbm_dram", "--ev_hbm_capacity", "64",
+        "--demote_steps", "10",
+        "--synthetic", "--prefetch_depth", "1", "--prefetch_workers", "1",
+    ])
+    out = cli.run(mod.build(args), args)
+    assert out["steps"] == 30
+    assert 0.0 < out["train_loss"] < 10.0
+
+
+def test_tiered_storage_flags_on_mesh():
+    """Same through TieredShardedTrainer (--mesh): per-shard budget
+    demotion + owner-routed promotion under the staged pipeline."""
+    from deeprec_tpu.utils.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    mod = importlib.import_module("modelzoo.DLRM.train")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "30", "--batch_size", "64", "--eval_steps", "1",
+        "--capacity", "2048", "--emb_dim", "4", "--log_steps", "10",
+        "--mesh", "4",
+        "--ev_storage", "hbm_dram", "--ev_hbm_capacity", "64",
+        "--demote_steps", "10",
+        "--synthetic", "--prefetch_depth", "1", "--prefetch_workers", "1",
+    ])
+    out = cli.run(mod.build(args), args)
+    assert out["steps"] == 30
+    assert 0.0 < out["train_loss"] < 10.0
