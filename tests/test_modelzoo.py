@@ -114,3 +114,27 @@ def test_tiered_storage_flags_on_mesh():
     out = cli.run(mod.build(args), args)
     assert out["steps"] == 30
     assert 0.0 < out["train_loss"] < 10.0
+
+
+def test_ssd_storage_flags(tmp_path):
+    """--ev_storage hbm_dram_ssd with a tiny --ev_dram_budget: demoted
+    rows overflow host DRAM and spill to the file-backed SSD arena, and
+    the loop keeps training."""
+    from deeprec_tpu.utils.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    mod = importlib.import_module("modelzoo.DLRM.train")
+    ssd = str(tmp_path / "ev.arena")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "30", "--batch_size", "64", "--eval_steps", "1",
+        "--capacity", "2048", "--emb_dim", "4", "--log_steps", "10",
+        "--ev_storage", "hbm_dram_ssd", "--ev_hbm_capacity", "64",
+        "--ev_dram_budget", "128", "--ev_ssd_path", ssd,
+        "--demote_steps", "10",
+        "--synthetic", "--prefetch_depth", "1", "--prefetch_workers", "1",
+    ])
+    out = cli.run(mod.build(args), args)
+    assert out["steps"] == 30
+    assert 0.0 < out["train_loss"] < 10.0
+    import os
+    assert os.path.exists(ssd) and os.path.getsize(ssd) > 0
