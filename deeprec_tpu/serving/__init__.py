@@ -6,4 +6,12 @@ HBM entirely from one chip by keeping the cold tail in host DRAM (the
 reference's CPU-resident EV serving)."""
 from .predictor import Predictor, ShardedPredictor, TieredPredictor
 
-__all__ = ["Predictor", "ShardedPredictor", "TieredPredictor"]
+
+def make_server(predictor, host="127.0.0.1", port=8500, refresh_secs=0.0):
+    """HTTP front end over a predictor — see :mod:`deeprec_tpu.serving.server`
+    (lazy import: the predictors stay importable without the server)."""
+    from .server import make_server as _mk
+    return _mk(predictor, host=host, port=port, refresh_secs=refresh_secs)
+
+
+__all__ = ["Predictor", "ShardedPredictor", "TieredPredictor", "make_server"]

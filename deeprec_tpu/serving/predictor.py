@@ -29,6 +29,22 @@ from ..sparse import embedding_var as ev
 from ..train.trainer import _readonly_lookup
 
 
+def _adopt_row_layout(coll, arrays) -> None:
+    """Adopt the checkpoint's row layout: training may have fused optimizer
+    slot columns into the values rows (``config.fused_slot_columns`` — the
+    reference's ValuePtr layout, train.cli does this for adagrad/adam), so
+    the stored width is ``embedding_dim + fused``. Serving reads the width
+    from the checkpoint itself instead of requiring the training flags;
+    the readonly lookup slices ``[:, :embedding_dim]`` either way."""
+    cfg = getattr(coll, "config", None)
+    vals = arrays.get("values") if isinstance(arrays, dict) else None
+    if cfg is None or vals is None or vals.ndim != 2:
+        return
+    extra = vals.shape[1] - cfg.embedding_dim
+    if extra >= 0 and extra != cfg.fused_slot_columns:
+        coll.config = dataclasses.replace(cfg, fused_slot_columns=extra)
+
+
 class Predictor:
     """Read-only model server over a checkpoint directory.
 
@@ -85,6 +101,7 @@ class Predictor:
     def _load_base(self, manifest):
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
+            _adopt_row_layout(coll, arrays)
             tier = self._tier_arrays(coll, manifest, name)
             n_rows = arrays["keys"].shape[0] + \
                 (tier["keys"].shape[0] if tier else 0)
@@ -277,6 +294,7 @@ class TieredPredictor(Predictor):
         from ..utils.native import HostKV
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
+            _adopt_row_layout(coll, arrays)
             tier = self._tier_arrays(coll, manifest, name)
             parts = ([tier] if tier else []) + [arrays]
             keys, vals, freqs, vers = self._merge_by_key(parts)
@@ -485,6 +503,7 @@ class ShardedPredictor(Predictor):
         from ..checkpoint.saver import route_to_shards
         for name, coll in self.collections.items():
             arrays = F.read_table(manifest["path"], name)
+            _adopt_row_layout(coll, arrays)
             tier = self._tier_arrays(coll, manifest, name)
             n_rows = arrays["keys"].shape[0] + \
                 (tier["keys"].shape[0] if tier else 0)
