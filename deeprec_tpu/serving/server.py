@@ -65,7 +65,10 @@ def batch_from_json(payload: dict) -> Dict[str, np.ndarray]:
             cols[k] = _as_column(k, [r[k] for r in rows])
         return cols
     if "inputs" in payload:
-        return {k: _as_column(k, v) for k, v in payload["inputs"].items()}
+        cols = {k: _as_column(k, v) for k, v in payload["inputs"].items()}
+        if not cols or any(len(v) == 0 for v in cols.values()):
+            raise ValueError("empty inputs")
+        return cols
     raise ValueError("body must contain 'instances' or 'inputs'")
 
 
