@@ -164,7 +164,8 @@ class TieredShardedTrainer(TierCheckpointMixin, ShardedTrainer):
                 per_shard, mesh=self.mesh,
                 in_specs=(bundle_spec, P(axis, None), P(axis, None),
                           P(axis, None, None)),
-                out_specs=(bundle_spec, P(axis, None)), check_vma=False))
+                out_specs=(bundle_spec, P(axis, None)), check_vma=False),
+                donate_argnums=(0,))  # in-place insert; see tiered_trainer
         hi, lo = K.split_np(bucket_keys)
         g = lambda spec_, x: mh.globalize(self.mesh, spec_, x)
         return self._promote_fns[key](bundle,

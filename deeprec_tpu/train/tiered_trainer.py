@@ -176,8 +176,12 @@ class TieredTrainer(TierCheckpointMixin, Trainer):
         cache_key = (name, int(keys.hi.shape[0]), int(payload.shape[1]),
                      cfg.capacity)
         if cache_key not in self._insert_fns:
+            # donate the bundle: without it every promote copies the whole
+            # table (values+slots+meta, ~300MB at 2M rows) — the soak's
+            # promotion-storm fences were dominated by exactly that copy
             self._insert_fns[cache_key] = jax.jit(
-                lambda b, k, p: TP.scatter(b, cfg, spec, k, p))
+                lambda b, k, p: TP.scatter(b, cfg, spec, k, p),
+                donate_argnums=(0,))
         return self._insert_fns[cache_key](bundle, keys, payload)
 
     # -- demotion --------------------------------------------------------------
