@@ -46,6 +46,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--eval_steps", type=int, default=20)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="also eval the held-out stream every N train steps "
+                        "(0 = only at the end) — the learning-curve view "
+                        "the reference gets from MonitoredTrainingSession "
+                        "eval hooks")
     p.add_argument("--learning_rate", type=float, default=0.05)
     p.add_argument("--optimizer", default="adagrad",
                    choices=["sgd", "adagrad", "adagrad_decay",
@@ -288,8 +293,18 @@ def run(spec: ModelSpec, args) -> dict:
             else 10 * args.log_steps)
         prepare = lambda b: (tr.prepare_batch(b), tr.prepare_probe(b))
 
+    def run_eval():
+        mstate = M.create()
+        if args.mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mstate = jax.device_put(mstate, NamedSharding(tr.mesh, P()))
+        for batch in spec.eval_data(args):
+            mstate = tr.eval_step(state, mstate, batch)
+        return M.summarize(mstate)
+
     t0 = time.perf_counter()
     done = 0
+    eval_secs = 0.0
     last_health = {}
     import itertools
     stream = itertools.chain([first], train_it)
@@ -331,6 +346,15 @@ def run(spec: ModelSpec, args) -> dict:
                 # silent-degradation watchdog: bucket drops / dedup-cap
                 # saturation are invisible in the loss until quality rots
                 last_health = _check_health(tr, state, writer, last_health)
+                if args.eval_every and done % args.eval_every < args.log_steps \
+                        and done >= args.eval_every:
+                    te = time.perf_counter()
+                    em = run_eval()
+                    eval_secs += time.perf_counter() - te
+                    print(f"eval @ step {int(state.step)}: "
+                          f"auc={em['auc']:.4f} acc={em['accuracy']:.4f}")
+                    if writer:
+                        writer.write(int(state.step), em, phase="eval")
                 if demote_steps and (done // args.log_steps) % max(
                         demote_steps // args.log_steps, 1) == 0:
                     state = tr.maybe_demote(state)
@@ -341,7 +365,7 @@ def run(spec: ModelSpec, args) -> dict:
                         if writer:
                             writer.write(int(state.step), rows, phase="tier")
     jax.block_until_ready(state.step)
-    train_secs = time.perf_counter() - t0
+    train_secs = time.perf_counter() - t0 - eval_secs
 
     if args.profile:
         jax.profiler.stop_trace()
@@ -351,13 +375,7 @@ def run(spec: ModelSpec, args) -> dict:
     train_m = M.summarize(state.metrics)
 
     # eval on a held-out stream (read-only lookups)
-    mstate = M.create()
-    if args.mesh:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        mstate = jax.device_put(mstate, NamedSharding(tr.mesh, P()))
-    for batch in spec.eval_data(args):
-        mstate = tr.eval_step(state, mstate, batch)
-    eval_m = M.summarize(mstate)
+    eval_m = run_eval()
 
     out = {
         "model": spec.name,
