@@ -64,6 +64,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="bf16 compute in dense towers (keep_weights analog)")
     p.add_argument("--micro_batch", type=int, default=1,
                    help="AutoMicroBatch pipeline count")
+    p.add_argument("--jit_cache", default="/tmp/deeprec_jit_cache",
+                   help="persistent XLA compile cache dir ('' disables): "
+                        "restarted runs skip every compile, and growth "
+                        "prewarm (see Trainer.prewarm_grow) needs it")
     p.add_argument("--prefetch_depth", type=int, default=2)
     p.add_argument("--prefetch_workers", type=int, default=2)
     p.add_argument("--mesh", type=int, default=0,
@@ -196,6 +200,9 @@ def run(spec: ModelSpec, args) -> dict:
     """Train/eval loop shared by every modelzoo trainer. Returns (and
     prints, as the reference trainers do) the summary metrics."""
     import jax
+
+    if getattr(args, "jit_cache", ""):
+        jax.config.update("jax_compilation_cache_dir", args.jit_cache)
 
     from ..checkpoint import CheckpointManager
     from ..data.prefetch import staged
@@ -343,6 +350,13 @@ def run(spec: ModelSpec, args) -> dict:
                                   f"{n}->{c.config.capacity}"
                                   for n, c in tr.collections.items()))
                         state = grown
+                    elif not args.mesh and args.jit_cache:
+                        # compile-ahead: tables past 0.5 load warm the
+                        # persistent cache with the 2x-capacity step so
+                        # the growth fence pays deserialize, not compile
+                        warmed = tr.prewarm_grow(state, packed)
+                        if warmed:
+                            print(f"prewarming grown-step compile: {warmed}")
                 # silent-degradation watchdog: bucket drops / dedup-cap
                 # saturation are invisible in the loss until quality rots
                 last_health = _check_health(tr, state, writer, last_health)

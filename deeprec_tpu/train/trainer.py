@@ -316,6 +316,87 @@ class Trainer:
         self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_step, donate_argnums=(1,))
 
+    def prewarm_grow(self, state: TrainState, packed_args,
+                     threshold: float = 0.5,
+                     cache_dir: str = "/tmp/deeprec_jit_cache") -> list:
+        """Compile-ahead for capacity growth: background-compile the train
+        step at 2x capacity for every table whose load factor has crossed
+        ``threshold`` but that ``maybe_grow`` (0.7) has not yet grown.
+
+        Growth is a static-shape change, so the post-growth step is a full
+        XLA recompile — the one unavoidable stall of this design (the
+        48-min soak's 0.6-1.4 s/step growth fences, docs/BENCH.md). This
+        warms the persistent compilation cache with the exact grown-shape
+        program while training continues: the warm compile and the
+        post-growth ``rejit`` lower identical HLO, so the stall collapses
+        to tracing + cache deserialize. Fire-and-forget (daemon thread);
+        returns the table names being warmed. Single-controller trainers
+        only — the sharded trainer's per-shard growth compiles are
+        proportionally smaller.
+
+        ``packed_args`` is a prepared batch tuple (what ``_jit_train``
+        takes after ``state``); only its shapes/dtypes are read.
+        """
+        import copy
+        import threading
+
+        names = []
+        for n, c in self.collections.items():
+            b = state.tables[n]
+            try:
+                lf = float(c.load_factor(b.ev))
+            except (AttributeError, TypeError):
+                continue
+            if lf >= threshold and not c.needs_growth(b.ev):
+                names.append(n)
+        if not names:
+            return []
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        aval = lambda t: jax.tree_util.tree_map(
+            lambda x: (getattr(x, "shape", ()), str(getattr(x, "dtype", ""))), t)
+        key = (tuple((n, self.collections[n].config.capacity) for n in names),
+               str(aval(packed_args)))
+        warmed = getattr(self, "_prewarmed", None)
+        if warmed is None:
+            warmed = self._prewarmed = set()
+        if key in warmed:
+            return []
+        warmed.add(key)
+
+        # a config-cloned trainer: its grow_state mutates the CLONE's
+        # configs to 2x (exactly what the real growth will do to the live
+        # ones), so tracing clone._train_step lowers the identical program
+        clone = copy.copy(self)
+        clone.collections = {n: copy.copy(c)
+                             for n, c in self.collections.items()}
+
+        def grown(st):
+            tables = dict(st.tables)
+            for n in names:
+                b = tables[n]
+                ev2, slot2 = clone.collections[n].grow_state(
+                    b.ev, b.slot, opt=self.sparse_optimizers.get(n))
+                tables[n] = b._replace(ev=ev2, slot=slot2)
+            return st._replace(tables=tables)
+
+        grown_avals = jax.eval_shape(grown, state)
+        packed_avals = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), packed_args)
+
+        def work():
+            try:
+                fn = jax.jit(clone._train_step, donate_argnums=(0,))
+                fn.lower(grown_avals, *packed_avals).compile()
+            except Exception as e:  # record, never kill the training loop
+                errs = getattr(self, "_prewarm_errors", None)
+                if errs is None:
+                    errs = self._prewarm_errors = []
+                errs.append(repr(e))
+        threading.Thread(target=work, daemon=True,
+                         name=f"prewarm-grow-{'-'.join(names)}").start()
+        return names
+
     def reset_metrics(self, state: TrainState) -> TrainState:
         return state._replace(metrics=metrics_lib.create())
 
