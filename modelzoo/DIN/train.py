@@ -59,8 +59,10 @@ def build(args) -> cli.ModelSpec:
 
 if __name__ == "__main__":
     p = cli.base_parser("DIN on behaviour data")
-    # adam converges far better than adagrad on the attention stack
-    # (measured: eval AUC 0.687 vs 0.547 at 3k steps on the synthetic task)
+    # adam converges better than adagrad on the attention stack.
+    # Reproducible protocol (--steps 3000 --batch_size 2048 --eval_steps
+    # 40): eval AUC 0.6288 @3k, 0.6318 @6k — at the stream's
+    # gradient-feasible ceiling; see docs/BENCH.md sequence-model section.
     p.set_defaults(optimizer="adam", learning_rate=0.002,
                    # behaviour sequences dedup poorly: most
                    # history ids are unique within a batch
