@@ -22,6 +22,12 @@ table uses for the "% of achievable lift" column:
                    taste noise.
   3. bias+repeat — drop the taste term entirely: what a model that never
                    learns co-occurrence structure tops out at.
+  4. bias_only   — candidate-item hidden bias alone: the fast, purely
+                   id->label signal any CTR model lifts on first. A
+                   sequence model stuck at this line has learned nothing
+                   from the history (the bisect line for DIN/DIEN;
+                   benchmarks/sequence_fidelity.py separates architecture
+                   from representation-learning speed against it).
 
 Reference anchor: docs/Performance.md gives DCN the same treatment on the
 Criteo stream (96% of achievable lift); this closes the gap for the
@@ -40,7 +46,8 @@ def main(n_batches: int = 50, batch_size: int = 4096, **gen_kwargs):
     gen = SyntheticBehavior(batch_size=batch_size, emit_clean_logit=True,
                             **gen_kwargs)
     iv = gen.item_vec
-    scores = {"bayes": [], "observable": [], "bias_repeat": []}
+    scores = {"bayes": [], "observable": [], "bias_only": [],
+              "bias_repeat": []}
     labels = []
     for b in gen.take(n_batches):
         labels.append(b["label"])
@@ -59,6 +66,7 @@ def main(n_batches: int = 50, batch_size: int = 4096, **gen_kwargs):
         aff = np.where(mask, aff, -np.inf)
         repeat = np.tanh(np.max(aff, axis=1) / 2.0)
         base = 1.2 * bias + 1.2 * repeat
+        scores["bias_only"].append(1.2 * bias)
         scores["bias_repeat"].append(base)
         # taste plug-in: mean history vector, rescaled so taste_hat.cand
         # matches the scale of the true taste.cand term

@@ -154,6 +154,16 @@ class EmbeddingVariableConfig:
     # of a plain CTR train step — the light layout skips them.
     track_freq: Optional[bool] = None
     track_version: Optional[bool] = None
+    # Wire dtype of the sharded row/gradient exchange (the rows-back
+    # all_to_all and its autodiff transpose, parallel/sharded.py). On a
+    # multi-chip mesh the returned rows and the reverse gradient exchange
+    # dominate ICI bytes at S*bucket_cap*dim*4B per step each direction;
+    # "bfloat16" halves both. Values are rounded per position ON THE WIRE
+    # only — every gather, segment-sum and optimizer accumulation stays in
+    # the table dtype (the lossy-compression recipe of DLRM comm papers,
+    # e.g. arxiv 2407.04272, with error confined to one rounding). Ids and
+    # metadata planes stay exact. None/"float32" = exact exchange.
+    exchange_dtype: Optional[str] = None
     # Multi-hash (Q-R trick) / dynamic-dim variants are separate table types
     # built on top of this config (sparse/multihash.py, sparse/dynamicdim.py).
 

@@ -475,9 +475,10 @@ class EmbeddingCollection:
     def sharded_rows_back(self, urows, aux, axis, bucket_cap):
         """(rows_flat [N_local, dim], valid_flat [N_local]) in the local
         flat-id layout; linear in ``urows`` so autodiff emits the reverse
-        exchange."""
+        exchange (bf16 on the wire when config.exchange_dtype says so)."""
         from .parallel import sharded
-        return sharded.rows_back(urows, aux, axis, bucket_cap)
+        return sharded.rows_back(urows, aux, axis, bucket_cap,
+                                 wire_dtype=self.config.exchange_dtype)
 
     def sharded_apply_gradients(self, state, opt, slot_state, aux,
                                 d_urows, step, axis, num_shards):
@@ -489,8 +490,9 @@ class EmbeddingCollection:
     def sharded_readonly(self, state, ids2d, axis, bucket_cap):
         """Eval-path exchange: (rows_flat, valid_flat), no mutation."""
         from .parallel import sharded
-        return sharded.exchange_lookup_readonly(self, state, ids2d, axis,
-                                                bucket_cap)
+        return sharded.exchange_lookup_readonly(
+            self, state, ids2d, axis, bucket_cap,
+            wire_dtype=self.config.exchange_dtype)
 
     def sharded_health(self, health, aux):
         """Per-device health accumulation from one exchange's aux."""

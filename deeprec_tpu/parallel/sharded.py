@@ -171,17 +171,34 @@ def gather_owner_rows(state_values: jax.Array, aux: ShardedAux,
     return urows[aux.recv_uniq.inverse]
 
 
+def _wire(x: jax.Array, wire_dtype) -> Tuple[jax.Array, object]:
+    """Cast ``x`` to the exchange wire dtype (config.exchange_dtype).
+    The caller casts back right after the collective so ONLY the wire is
+    narrow: every gather/scatter/sum stays in the table dtype, and the
+    autodiff transpose (cast -> reverse all_to_all -> cast) compresses the
+    gradient exchange the same single-rounding way."""
+    if wire_dtype is None:
+        return x, x.dtype
+    wd = jnp.dtype(wire_dtype)
+    if wd == x.dtype:
+        return x, x.dtype
+    return x.astype(wd), x.dtype
+
+
 def rows_back(urows_owner: jax.Array, aux: ShardedAux, axis: str,
-              bucket_cap: int) -> Tuple[jax.Array, jax.Array]:
+              bucket_cap: int, wire_dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Second all_to_all: owners return rows; requesters unbucket.
 
     Returns (rows_flat [N, dim], valid_flat [N]) in local flat-id layout.
-    Linear in ``urows_owner`` -> autodiff emits the reverse exchange.
+    Linear in ``urows_owner`` -> autodiff emits the reverse exchange
+    (in ``wire_dtype`` when set — see config.exchange_dtype).
     """
     S = jax.lax.axis_size(axis)
     d = urows_owner.shape[-1]
+    send, out_dtype = _wire(urows_owner, wire_dtype)
     back = jax.lax.all_to_all(
-        urows_owner.reshape(S, bucket_cap, d), axis, 0, 0, tiled=False)
+        send.reshape(S, bucket_cap, d), axis, 0, 0,
+        tiled=False).astype(out_dtype)
     # local unique id i fetches back[owner[i], pos[i]]
     u_idx = jnp.where(aux.routed, aux.owner * bucket_cap + aux.pos, 0)
     row_u = back.reshape(S * bucket_cap, d)[u_idx]
@@ -226,6 +243,7 @@ def exchange_lookup_readonly(
     flat_ids: K.Keys,
     axis: str,
     bucket_cap: int,
+    wire_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Eval-path exchange: no insertion/metadata mutation; unknown keys read
     their deterministic would-be init row. Returns (rows_flat, valid_flat)
@@ -252,7 +270,9 @@ def exchange_lookup_readonly(
     rows_r = coll.owner_readonly_rows(state, slots, found, recv_keys)
 
     d = rows_r.shape[-1]
-    back = jax.lax.all_to_all(rows_r.reshape(S, bucket_cap, d), axis, 0, 0)
+    send_r, out_dtype = _wire(rows_r, wire_dtype)
+    back = jax.lax.all_to_all(
+        send_r.reshape(S, bucket_cap, d), axis, 0, 0).astype(out_dtype)
     u_idx = jnp.where(routed, owner * bucket_cap + pos, 0)
     row_u = back.reshape(S * bucket_cap, d)[u_idx]
     row_u = jnp.where(routed[:, None], row_u, 0.0)

@@ -78,6 +78,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--incr_save_secs", type=float, default=None)
     p.add_argument("--ev_filter_freq", type=int, default=0)
     p.add_argument("--ev_evict_steps", type=int, default=0)
+    p.add_argument("--exchange_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="wire dtype of the --mesh row/grad exchange "
+                        "(bfloat16 halves ICI bytes; values rounded on "
+                        "the wire only, see config.exchange_dtype)")
     p.add_argument("--ev_storage", default="hbm",
                    choices=["hbm", "hbm_dram", "hbm_dram_ssd"],
                    help="multi-tier embedding storage (reference "
@@ -124,6 +129,8 @@ def ev_kwargs(args) -> dict:
         kw["counter_filter"] = dr.CounterFilter(args.ev_filter_freq)
     if args.ev_evict_steps:
         kw["evict"] = dr.GlobalStepEvict(args.ev_evict_steps)
+    if getattr(args, "exchange_dtype", None) not in (None, "float32"):
+        kw["exchange_dtype"] = args.exchange_dtype
     if getattr(args, "incr_save_secs", None):
         # version-delta incrementals need version stamps even on tables
         # with no eviction policy (else the light layout skips them)

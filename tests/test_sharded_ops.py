@@ -168,3 +168,50 @@ def test_freq_semantics_identical_local_vs_sharded():
     # multiplicity: ids 5/7/9 appear 6/4/2 times per batch (bs=12 resize),
     # x3 batches -> freqs {18, 12, 6} (both salted columns alike)
     assert set(fl.values()) == {18, 12, 6}
+
+
+def test_bf16_exchange_wire_matches_f32_closely():
+    """config.exchange_dtype="bfloat16": rows/grads ride the all_to_all in
+    bf16 (one rounding on the wire), everything else identical — training
+    must track the exact exchange within bf16 tolerance and still learn."""
+    def make(exchange):
+        cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8) for n in CATS]
+        coll = fc.EmbeddingCollection(
+            cols, name="emb", capacity=256,
+            initializer=dr.Initializer("normal", scale=0.1),
+            exchange_dtype=exchange)
+        model = ctr.DCN(emb_names=CATS, cross_layers=1, deep_units=(16,))
+        return ShardedTrainer(
+            model=model, numeric_columns=[fc.NumericColumn("I1")],
+            collections={"emb": coll},
+            sparse_optimizers={"emb": sopt.sparse_adagrad(0.1)},
+            dense_optimizer=optax.adagrad(0.05), mesh=make_mesh(4))
+
+    tr_f32, tr_b16 = make(None), make("bfloat16")
+    rng = np.random.default_rng(3)
+    batches = [_batch(rng, bs=64, vocab=500) for _ in range(12)]
+    s32 = tr_f32.init(jax.random.key(0), batches[0])
+    s16 = tr_b16.init(jax.random.key(0), batches[0])
+    first = last = None
+    for i, b in enumerate(batches):
+        s32 = tr_f32.train_step(s32, b)
+        s16 = tr_b16.train_step(s16, b)
+        l32 = float(s32.metrics.loss_sum / s32.metrics.count)
+        l16 = float(s16.metrics.loss_sum / s16.metrics.count)
+        if i == 0:
+            first = l16
+        last = l16
+        # same trajectory within bf16 wire rounding
+        assert abs(l32 - l16) < 5e-2, (i, l32, l16)
+    assert np.isfinite(last) and last < first + 5e-3  # still learns
+    # trained rows track the exact-exchange run (insert order identical,
+    # so slots line up; only wire rounding of rows/grads differs)
+    v32 = np.asarray(s32.tables["emb"].ev.values)
+    v16 = np.asarray(s16.tables["emb"].ev.values)
+    np.testing.assert_allclose(v16, v32, rtol=0.1, atol=2e-2)
+    # eval-path (readonly) exchange also rides the bf16 wire
+    m32 = tr_f32.eval_step(s32, tr_f32.reset_metrics(s32).metrics, batches[0])
+    m16 = tr_b16.eval_step(s16, tr_b16.reset_metrics(s16).metrics, batches[0])
+    l32 = float(m32.loss_sum / m32.count)
+    l16 = float(m16.loss_sum / m16.count)
+    assert abs(l32 - l16) < 5e-2, (l32, l16)
