@@ -393,8 +393,14 @@ class Trainer:
                 if errs is None:
                     errs = self._prewarm_errors = []
                 errs.append(repr(e))
-        threading.Thread(target=work, daemon=True,
-                         name=f"prewarm-grow-{'-'.join(names)}").start()
+        t = threading.Thread(target=work, daemon=True,
+                             name=f"prewarm-grow-{'-'.join(names)}")
+        # keep the handle so tests/operators can join instead of polling
+        threads = getattr(self, "_prewarm_threads", None)
+        if threads is None:
+            threads = self._prewarm_threads = []
+        threads.append(t)
+        t.start()
         return names
 
     def reset_metrics(self, state: TrainState) -> TrainState:

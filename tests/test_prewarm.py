@@ -72,20 +72,16 @@ def test_prewarm_caches_grown_step_without_touching_live_trainer(tmp_path):
         # the clone's config mutation must not leak into the live trainer
         assert tr.collections["emb"].config.capacity == 256
 
-        # generous deadline: the compile thread shares the host with the
-        # rest of CI and this box can be a single core — the functional
-        # assertion is "an entry eventually appears", not latency
-        deadline = time.time() + 420
-        entry = None
-        while time.time() < deadline and entry is None:
-            if getattr(tr, "_prewarm_errors", []):
-                break
-            entries = [f for f in (os.listdir(cache) if os.path.isdir(cache)
-                                   else []) if "train_step" in f]
-            entry = entries[0] if entries else None
-            time.sleep(0.2)
+        # join the compile thread (deterministic, no cache-dir polling);
+        # the timeout only guards a hung compile — the thread shares one
+        # core with the rest of CI, so it can legitimately take minutes
+        for t in getattr(tr, "_prewarm_threads", []):
+            t.join(timeout=900)
+            assert not t.is_alive(), "prewarm compile thread still running"
         assert not getattr(tr, "_prewarm_errors", []), tr._prewarm_errors
-        assert entry, "prewarm thread produced no train_step cache entry"
+        entries = [f for f in (os.listdir(cache) if os.path.isdir(cache)
+                               else []) if "train_step" in f]
+        assert entries, "prewarm thread produced no train_step cache entry"
 
         # same signature is warmed once
         assert tr.prewarm_grow(state, packed, cache_dir=cache) == []
