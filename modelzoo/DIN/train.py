@@ -61,8 +61,12 @@ if __name__ == "__main__":
     p = cli.base_parser("DIN on behaviour data")
     # adam converges better than adagrad on the attention stack.
     # Reproducible protocol (--steps 3000 --batch_size 2048 --eval_steps
-    # 40): eval AUC 0.6288 @3k, 0.6318 @6k — at the stream's
-    # gradient-feasible ceiling; see docs/BENCH.md sequence-model section.
+    # 40): eval AUC 0.6288 @3k, 0.6318 @6k, 0.6337 @10k (the bias-only
+    # ceiling of the stream; history co-occurrence learns slower) —
+    # representation-bound, not architecture-bound: with oracle item
+    # vectors planted as init the same module reaches 0.770 (98% of the
+    # feature-observable ceiling) in 2k steps. See docs/BENCH.md
+    # "Sequence models: fidelity bisect" + benchmarks/sequence_fidelity.py.
     p.set_defaults(optimizer="adam", learning_rate=0.002,
                    # behaviour sequences dedup poorly: most
                    # history ids are unique within a batch

@@ -36,3 +36,22 @@ def test_clean_logit_opt_in_only():
     assert b["_clean_logit"].shape == (64,)
     # trainers must not choke on the extra key: it is underscore-private
     assert all(not k.startswith("_") for k in b if k != "_clean_logit")
+
+
+def test_ceiling_ladder_ordering():
+    """The full ladder (benchmarks/behavior_oracle.py) must stay ordered:
+    bayes > observable >= two_tower > bias+repeat > bias_only > 0.5 —
+    the modelzoo lift columns and the fidelity-bisect verdict read these
+    relationships, so a generator change that collapses the ladder must
+    fail loudly here."""
+    import sys
+    sys.path.insert(0, ".")
+    from benchmarks.behavior_oracle import main as ceilings
+
+    c = ceilings(n_batches=6, batch_size=4096)
+    assert c["bayes"] > c["observable"] >= c["two_tower"] > 0.5
+    assert c["two_tower"] > c["bias_repeat"] > c["bias_only"] > 0.55
+    # recorded values (docs/BENCH.md) within sampling tolerance
+    for k, v in {"bayes": 0.821, "observable": 0.775, "two_tower": 0.773,
+                 "bias_repeat": 0.669, "bias_only": 0.635}.items():
+        assert abs(c[k] - v) < 0.012, (k, c[k], v)
