@@ -34,6 +34,11 @@ def main():
                          "GlobalStepEvict config); default is the light "
                          "layout the reference also picks for a filter-"
                          "less, evict-less table")
+    ap.add_argument("--exchange", default=None, choices=["bfloat16"],
+                    help="with --sharded: bf16 wire format for the "
+                         "row/grad all_to_all (config.exchange_dtype); "
+                         "an ICI-bandwidth lever, expected neutral at "
+                         "S=1 where the wire is a device-local copy")
     ap.add_argument("--max-unique-div", type=int, default=6,
                     help="dedup width = flat width / this (static cap; "
                          "uniques beyond it read the null row for a step). "
@@ -70,7 +75,8 @@ def main():
         max_unique=len(CAT_NAMES) * args.batch // args.max_unique_div,
         # ValuePtr-style fused slot storage: adagrad accumulator lives in
         # the values rows -> one optimizer scatter instead of two
-        fused_slot_columns=args.emb_dim, fused_slot_init=0.1, **meta_kw)
+        fused_slot_columns=args.emb_dim, fused_slot_init=0.1,
+        exchange_dtype=args.exchange, **meta_kw)
     import jax.numpy as jnp
     model = ctr.DLRM(emb_names=[c.name for c in emb_cols], emb_dim=args.emb_dim,
                      bottom_units=(512, 256), top_units=(1024, 1024, 512, 256),
