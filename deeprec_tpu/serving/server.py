@@ -24,6 +24,13 @@ distinct request size. One lock serializes predict/refresh — the jitted
 call releases the GIL on device, and serving-state swaps (refresh) must
 not interleave with a half-prepared batch.
 
+``--dynamic_batch_ms M`` enables Triton-style dynamic batching
+(the capability the reference gets from serving through Triton's
+dynamic_batching): concurrent requests with the same column signature
+are concatenated into one device call (up to --max_batch rows, waiting
+at most M ms for co-arrivals), and each caller receives exactly its own
+rows. Off by default — lone-request latency pays up to M extra ms.
+
 Run a modelzoo model directly:
 
   python -m deeprec_tpu.serving.server --model DLRM --ckpt_dir /ckpts \
@@ -85,19 +92,152 @@ def pad_pow2(batch: Dict[str, np.ndarray]):
     return out, n
 
 
-class PredictService:
-    """Thread-safe predict/refresh/health over one predictor."""
+class _PendingRequest:
+    __slots__ = ("cols", "n", "sig", "event", "out", "err")
 
-    def __init__(self, predictor):
+    def __init__(self, cols, n, sig):
+        self.cols, self.n, self.sig = cols, n, sig
+        self.event = threading.Event()
+        self.out = None
+        self.err = None
+
+
+def _batch_signature(cols: Dict[str, np.ndarray]):
+    """Requests are coalescible iff they share columns, dtypes and
+    trailing (per-row) shapes — then axis-0 concatenation is exact."""
+    return tuple(sorted((k, v.dtype.str, v.shape[1:])
+                        for k, v in cols.items()))
+
+
+class DynamicBatcher:
+    """Triton-style dynamic batching (the reference serves through
+    Triton, whose ``dynamic_batching`` coalesces concurrent requests
+    into one model execution — model_config dynamic_batching semantics).
+
+    Concurrent predict requests with the same column signature are
+    concatenated and run as ONE jitted device call: up to ``max_batch``
+    rows, waiting at most ``max_delay_ms`` for co-arrivals. Each caller
+    gets exactly its own rows back. Device dispatch has a large constant
+    cost relative to marginal per-row cost (docs/BENCH.md serving table),
+    so K concurrent small requests approach 1/K of their serial cost.
+    Requests issued while a batch is on-device accumulate for the next
+    one — the natural two-deep pipeline.
+    """
+
+    def __init__(self, run_padded, max_batch: int = 4096,
+                 max_delay_ms: float = 2.0):
+        self._run = run_padded            # padded batch -> probs
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self._cv = threading.Condition()
+        self._pending = []
+        self._stopped = False
+        self.batches = 0                  # device calls issued
+        threading.Thread(target=self._loop, daemon=True,
+                         name="dynamic-batcher").start()
+
+    def submit(self, cols: Dict[str, np.ndarray], n: int) -> np.ndarray:
+        req = _PendingRequest(cols, n, _batch_signature(cols))
+        with self._cv:
+            if self._stopped:
+                raise RuntimeError("batcher stopped")
+            self._pending.append(req)
+            self._cv.notify()
+        req.event.wait()
+        if req.err is not None:
+            raise req.err
+        return req.out
+
+    def stop(self):
+        with self._cv:
+            self._stopped = True
+            self._cv.notify()
+
+    def _take_batch(self):
+        """Block for the first request, then gather same-signature
+        co-arrivals until max_batch rows or the delay window closes."""
+        with self._cv:
+            while not self._pending and not self._stopped:
+                self._cv.wait()
+            if self._stopped and not self._pending:
+                return None
+            sig = self._pending[0].sig
+            deadline = time.monotonic() + self.max_delay
+
+            def ready():
+                return sum(r.n for r in self._pending
+                           if r.sig == sig) >= self.max_batch
+            while not ready():
+                left = deadline - time.monotonic()
+                if left <= 0 or self._stopped:
+                    break
+                self._cv.wait(timeout=left)
+            taken, rest, rows = [], [], 0
+            for r in self._pending:
+                if r.sig == sig and rows < self.max_batch:
+                    taken.append(r)
+                    rows += r.n
+                else:
+                    rest.append(r)
+            self._pending = rest
+            return taken
+
+    def _loop(self):
+        while True:
+            taken = self._take_batch()
+            if taken is None:
+                return
+            try:
+                cols = {k: np.concatenate([r.cols[k] for r in taken])
+                        for k in taken[0].cols}
+                padded, n = pad_pow2(cols)
+                probs = np.asarray(self._run(padded))[:n]
+                self.batches += 1
+                off = 0
+                for r in taken:
+                    r.out = probs[off:off + r.n]
+                    off += r.n
+            except Exception as e:  # propagate to every caller in the batch
+                for r in taken:
+                    r.err = e
+            finally:
+                for r in taken:
+                    r.event.set()
+
+
+class PredictService:
+    """Thread-safe predict/refresh/health over one predictor.
+
+    ``dynamic_batch_ms`` > 0 turns on request coalescing (DynamicBatcher):
+    concurrent small requests share one device call instead of
+    serializing on the predict lock."""
+
+    def __init__(self, predictor, dynamic_batch_ms: float = 0.0,
+                 max_batch: int = 4096):
         self.predictor = predictor
         self._lock = threading.Lock()
         self.requests = 0
+        self.batcher = None
+        if dynamic_batch_ms > 0:
+            self.batcher = DynamicBatcher(self._run_locked,
+                                          max_batch=max_batch,
+                                          max_delay_ms=dynamic_batch_ms)
+
+    def _run_locked(self, padded):
+        with self._lock:
+            return self.predictor.predict(padded)
 
     def predict(self, payload: dict):
         batch = batch_from_json(payload)
         sizes = {len(v) for v in batch.values()}
         if len(sizes) != 1:
             raise ValueError(f"column batch sizes differ: {sorted(sizes)}")
+        if self.batcher is not None:
+            probs = self.batcher.submit(batch, len(next(iter(batch.values()))))
+            with self._lock:
+                self.requests += 1
+                step = self._step()
+            return {"predictions": np.asarray(probs).tolist(), "step": step}
         padded, n = pad_pow2(batch)
         with self._lock:
             probs = self.predictor.predict(padded)
@@ -114,6 +254,8 @@ class PredictService:
         with self._lock:
             out = {"status": "ok", "step": self._step(),
                    "requests": self.requests,
+                   **({"device_batches": self.batcher.batches}
+                      if self.batcher else {}),
                    "tables": {n: int(np.sum(np.asarray(st.index.size)))
                               for n, st in self.predictor.tables.items()}}
             host = getattr(self.predictor, "host_store", None)
@@ -163,11 +305,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8500,
-                refresh_secs: float = 0.0):
+                refresh_secs: float = 0.0, dynamic_batch_ms: float = 0.0,
+                max_batch: int = 4096):
     """Build a ThreadingHTTPServer (call ``.serve_forever()``); if
     ``refresh_secs`` > 0 a daemon thread applies new checkpoint saves on
-    that cadence (the reference's incremental-serving loop)."""
-    service = PredictService(predictor)
+    that cadence (the reference's incremental-serving loop);
+    ``dynamic_batch_ms`` > 0 coalesces concurrent requests into shared
+    device calls (Triton dynamic_batching)."""
+    service = PredictService(predictor, dynamic_batch_ms=dynamic_batch_ms,
+                             max_batch=max_batch)
     handler = type("Handler", (_Handler,), {"service": service})
     srv = ThreadingHTTPServer((host, port), handler)
     srv.service = service
@@ -194,6 +340,12 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--refresh_secs", type=float, default=0.0)
+    ap.add_argument("--dynamic_batch_ms", type=float, default=0.0,
+                    help="coalesce concurrent predict requests for up to "
+                         "this many ms into one device call (Triton "
+                         "dynamic_batching; 0 = off)")
+    ap.add_argument("--max_batch", type=int, default=4096,
+                    help="row cap per coalesced device call")
     ap.add_argument("--mesh", type=int, default=0,
                     help="serve row-sharded over an N-device mesh")
     ap.add_argument("--device_row_budget", type=int, default=0,
@@ -221,7 +373,9 @@ def main(argv=None):
     else:
         pred = Predictor(spec.model, spec.numeric_columns, spec.collections,
                          args.ckpt_dir, forward=spec.forward)
-    srv = make_server(pred, args.host, args.port, args.refresh_secs)
+    srv = make_server(pred, args.host, args.port, args.refresh_secs,
+                      dynamic_batch_ms=args.dynamic_batch_ms,
+                      max_batch=args.max_batch)
     print(f"serving {args.model} from {args.ckpt_dir} "
           f"on {args.host}:{args.port}")
     srv.serve_forever()

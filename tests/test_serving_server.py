@@ -167,3 +167,60 @@ def test_predictor_adopts_fused_row_layout(tmp_path):
     logits = model.apply(state.params, d, emb, train=False)
     np.testing.assert_allclose(probs, np.asarray(jax.nn.sigmoid(logits)),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_dynamic_batching_coalesces_and_returns_own_rows(tmp_path):
+    """Triton-dynamic_batching analog: concurrent predict requests share
+    device calls (device_batches < requests) and every caller gets
+    exactly its own rows — identical to serial, unbatched answers."""
+    numeric, coll, model = _make_parts()
+    tr = Trainer(model, numeric, {"emb": coll},
+                 {"emb": sopt.sparse_adagrad(0.05)}, optax.adagrad(0.05))
+    bs = _batches(4)
+    state = tr.init(jax.random.key(0), bs[0])
+    for b in bs[:3]:
+        state = tr.train_step(state, b)
+    CheckpointManager(str(tmp_path)).save(tr, state)
+
+    n2, c2, m2 = _make_parts()
+    pred = Predictor(m2, n2, {"emb": c2}, str(tmp_path))
+    srv = make_server(pred, host="127.0.0.1", port=0,
+                      dynamic_batch_ms=60.0, max_batch=512)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        src = bs[3]
+        # 8 concurrent requests, distinct row slices, odd sizes
+        slices = [(0, 3), (3, 8), (8, 9), (9, 14), (14, 17), (17, 22),
+                  (22, 27), (27, 31)]
+        payloads = [{k: np.asarray(v)[a:b].tolist() for k, v in src.items()
+                     if k != "label"} for a, b in slices]
+        results = [None] * len(payloads)
+
+        def fire(i):
+            results[i] = _post(base + "/v1/predict",
+                               {"inputs": payloads[i]})["predictions"]
+        ts = [threading.Thread(target=fire, args=(i,))
+              for i in range(len(payloads))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(r is not None for r in results)
+
+        # correctness: each caller got ITS rows (vs unbatched predictor)
+        n3, c3, m3 = _make_parts()
+        direct = Predictor(m3, n3, {"emb": c3}, str(tmp_path))
+        want = direct.predict({k: np.asarray(v) for k, v in src.items()})
+        for (a, b), got in zip(slices, results):
+            assert len(got) == b - a
+            np.testing.assert_allclose(got, want[a:b], rtol=2e-4, atol=2e-5)
+
+        # coalescing actually happened: fewer device calls than requests
+        h = _get(base + "/healthz")
+        assert h["requests"] == len(payloads)
+        assert 1 <= h["device_batches"] < len(payloads)
+    finally:
+        srv.service.batcher.stop()
+        srv.shutdown()
