@@ -55,8 +55,22 @@ def _fill_to(tr, state, n_ids, start=0):
 
 
 def test_prewarm_caches_grown_step_without_touching_live_trainer(tmp_path):
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
     cache = str(tmp_path / "jit_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
+    # a warm CI process can compile this small program in under the
+    # persistent cache's min-compile-time threshold (default 1s), in which
+    # case jax silently skips the disk write and the entry check below
+    # would flake — persist everything for this test
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # jax latches the persistent-cache object at its first compiled use:
+    # when the suite's conftest cache dir has already been used, the
+    # config update above is silently ignored and every write goes to the
+    # old dir — reset so THIS test's dir takes effect (standalone runs
+    # never hit this; a warm full-suite process always did)
+    cc.reset_cache()
     try:
         tr = make_trainer(capacity=256)
         state = tr.init(jax.random.key(0), batch_of([0, 1]))
@@ -96,7 +110,12 @@ def test_prewarm_caches_grown_step_without_touching_live_trainer(tmp_path):
         m = float(np.asarray(grown.metrics.loss_sum))
         assert np.isfinite(m)
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        # back to the suite-wide cache (conftest) for the remaining tests
+        import os as _os
+        jax.config.update("jax_compilation_cache_dir", _os.path.join(
+            _os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        cc.reset_cache()
 
 
 def test_prewarm_noop_below_threshold_and_for_variants():
@@ -104,4 +123,6 @@ def test_prewarm_noop_below_threshold_and_for_variants():
     state = tr.init(jax.random.key(0), batch_of([0, 1]))
     packed = tr.prepare_batch(batch_of([1, 2]))
     assert tr.prewarm_grow(state, packed) == []  # near-empty table
-    jax.config.update("jax_compilation_cache_dir", None)
+    # restore the suite-wide cache dir (conftest) for later tests
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(__file__), "..", ".jax_cache"))
