@@ -20,6 +20,12 @@ def main():
     ap.add_argument("--tiered", type=int, default=0, metavar="BUDGET",
                     help="also bench TieredPredictor with this device row "
                          "budget (host-DRAM cold tail, per-request staging)")
+    ap.add_argument("--concurrency", type=int, default=0, metavar="K",
+                    help="also bench K concurrent clients through "
+                         "PredictService, serial-lock vs dynamic batching "
+                         "(server.py --dynamic_batch_ms)")
+    ap.add_argument("--conc_reps", type=int, default=12,
+                    help="requests per concurrent client")
     args = ap.parse_args()
 
     import numpy as np
@@ -80,6 +86,53 @@ def main():
                 "metric": name, "batch": bs,
                 "value": round(dt * 1e3, 2), "unit": "ms",
                 "throughput_per_sec": round(bs / dt)}))
+
+    if args.concurrency:
+        # K concurrent clients, small per-request batches: the dispatch
+        # constant dominates (the latency table above), so coalescing K
+        # requests into one device call approaches a Kx QPS win — the
+        # Triton dynamic_batching effect server.py reproduces.
+        import threading
+
+        from deeprec_tpu.serving.server import PredictService
+
+        K, R = args.concurrency, args.conc_reps
+        bs = int(args.batches.split(",")[0])
+        g = SyntheticCriteo(batch_size=bs, seed=11)
+        pools = [[{k: v for k, v in next(g).items() if k != "label"}
+                  for _ in range(4)] for _ in range(K)]
+        for mode, ms in (("serial_lock", 0.0), ("dynamic_batch", 5.0)):
+            svc = PredictService(pred, dynamic_batch_ms=ms, max_batch=1 << 14)
+            barrier = threading.Barrier(K + 1)
+
+            def client(i):
+                barrier.wait()
+                for r in range(R):
+                    svc.predict({"inputs": pools[i][r % 4]})
+            # warm: one concurrent volley compiles the coalesced shape
+            ts = [threading.Thread(target=lambda: (barrier.wait(), svc.predict(
+                {"inputs": pools[0][0]}))[1]) for _ in range(K)]
+            for t in ts:
+                t.start()
+            barrier.wait()
+            for t in ts:
+                t.join()
+            ts = [threading.Thread(target=client, args=(i,)) for i in range(K)]
+            for t in ts:
+                t.start()
+            t0 = time.perf_counter()
+            barrier.wait()
+            for t in ts:
+                t.join()
+            dt = time.perf_counter() - t0
+            out = {"metric": f"serving_concurrent_{mode}", "clients": K,
+                   "batch": bs, "requests": K * R,
+                   "value": round(K * R / dt, 1), "unit": "requests/s",
+                   "examples_per_sec": round(K * R * bs / dt)}
+            if svc.batcher is not None:
+                out["device_batches"] = svc.batcher.batches
+                svc.batcher.stop()
+            print(json.dumps(out))
 
 
 if __name__ == "__main__":
