@@ -171,6 +171,31 @@ class EmbeddingCollection:
         # _flatten_ids layout).
         return K.Keys(jnp.asarray(hi), jnp.asarray(lo))
 
+    def transform_raw_keys(self, column_name: str,
+                           raw: np.ndarray) -> np.ndarray:
+        """Map one column's RAW feature ids into this collection's table key
+        space (hash-bucket mod + per-column-group salt) — exactly what
+        :meth:`pack_ids_np` does to a batch. Used by checkpoint migration:
+        a reference checkpoint stores one EV per feature column keyed by
+        raw ids (kv_variable_ops.cc DumpEmbeddingValues), while this
+        coalesced table keys each column's ids through its salt group."""
+        for ci, col in enumerate(self.columns):
+            if col.categorical.name != column_name:
+                continue
+            cc = col.categorical
+            ids = np.asarray(raw, np.int64)
+            empty = ids == -1
+            if cc.hash_bucket_size:
+                ids = np.where(empty, ids, ids % cc.hash_bucket_size)
+            si = self._salts[ci]
+            if si:
+                c1 = np.int64((si * 0x9E3779B1) & 0x7FFFFFFF) << 32
+                c2 = np.int64((si * 0x85EBCA77) & 0x7FFFFFFF)
+                ids = np.where(empty, ids, ids ^ c1 ^ c2)
+            return ids
+        raise KeyError(f"no column {column_name!r} in collection "
+                       f"{self.config.name!r}")
+
     def pack_ids_np(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         """The numpy stage of :meth:`pack_ids`: int64 [total_width, B] with
         salting/bucketing applied (host consumers — e.g. the host-DRAM tier
