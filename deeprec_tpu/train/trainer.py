@@ -149,15 +149,21 @@ class Trainer:
                           metrics=metrics_lib.create(), step=jnp.zeros((), jnp.int32))
 
     # -- batch plumbing ----------------------------------------------------
-    def prepare_batch(self, batch: Dict[str, np.ndarray]):
+    def prepare_batch(self, batch: Dict[str, np.ndarray], train: bool = True):
         """Host-side fast path: pure numpy packing, one transfer for dense,
         two int32 transfers per collection, one for labels. Everything else
         (normalisation, salting arithmetic) runs inside the jitted step —
-        eager per-column ops cost ~50x more in dispatch overhead."""
+        eager per-column ops cost ~50x more in dispatch overhead.
+
+        ``train=False`` routes collections with a read-only host stage
+        (``pack_ids_eval`` — host-index tables, whose train-path packing
+        mutates the host index) through it; plain collections ignore it."""
         dense = (jnp.asarray(pack_dense(self.numeric_columns, batch))
                  if self.numeric_columns else None)
-        cats = {name: coll.pack_ids(batch)
-                for name, coll in self.collections.items()}
+        cats = {}
+        for name, coll in self.collections.items():
+            ro = None if train else getattr(coll, "pack_ids_eval", None)
+            cats[name] = coll.pack_ids(batch) if ro is None else ro(batch)
         labels = jnp.asarray(batch["label"], jnp.float32) if "label" in batch else None
         return dense, cats, labels
 
@@ -289,7 +295,7 @@ class Trainer:
         return self._jit_train(state, dense, cats, labels)
 
     def eval_step(self, state: TrainState, mstate, batch):
-        dense, cats, labels = self.prepare_batch(batch)
+        dense, cats, labels = self.prepare_batch(batch, train=False)
         return self._jit_eval(state, mstate, dense, cats, labels)
 
     def maybe_grow(self, state: TrainState, threshold: float = 0.7) -> TrainState:
@@ -419,6 +425,9 @@ class Trainer:
             b = state.tables[name]
             idx_view = coll.index_view(b.ev)
             if idx_view is None:
+                host = getattr(coll, "host_health", None)
+                if host is not None:
+                    out[name] = host()
                 continue
             sizes = _np_global(idx_view.index.size).reshape(-1)
             cap = coll.config.capacity

@@ -26,6 +26,7 @@ _tried = False
 
 _i64 = ctypes.c_int64
 _p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
@@ -77,6 +78,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.criteo_parse.argtypes = [ctypes.c_char_p, _i64, _i64,
                                      _p_f32, _p_f32, _p_i64,
                                      ctypes.POINTER(_i64)]
+        lib.hidx_create.restype = ctypes.c_void_p
+        lib.hidx_create.argtypes = [_i64]
+        lib.hidx_destroy.argtypes = [ctypes.c_void_p]
+        lib.hidx_reset.argtypes = [ctypes.c_void_p]
+        lib.hidx_stats.argtypes = [ctypes.c_void_p, _p_i64]
+        lib.hidx_resolve.restype = _i64
+        lib.hidx_resolve.argtypes = [ctypes.c_void_p, _p_i64, _i64, _i64,
+                                     _i64, _i64, _i64, _p_i32, _p_i64,
+                                     _p_i32, _p_u8, _p_i32]
+        lib.hidx_export.restype = _i64
+        lib.hidx_export.argtypes = [ctypes.c_void_p, _p_i64, _i64]
+        lib.hidx_load.restype = _i64
+        lib.hidx_load.argtypes = [ctypes.c_void_p, _p_i64, _i64]
+        lib.hidx_compact.restype = _i64
+        lib.hidx_compact.argtypes = [ctypes.c_void_p, _p_u8, _p_i32]
+        lib.hidx_reserve.argtypes = [ctypes.c_void_p, _i64]
         _lib = lib
         return _lib
 
@@ -241,6 +258,195 @@ class TierStack:
         if not len(k2):
             return k1, r1
         return np.concatenate([k1, k2]), np.concatenate([r1, r2])
+
+
+class HostIndexResolver:
+    """Host-resident key -> dense-slot index: the resolving half of the
+    host-index embedding fast path (the role the reference's CPU hash maps
+    play behind EmbeddingVariable — dense_hash_map.h / lockless_hash_map.h
+    — rebuilt as a *pipelined* resolver: the host resolves step N+1's ids
+    while the device executes step N, so the jitted step needs no on-device
+    dedup sort or hash probe).
+
+    Deterministic: slots are assigned densely in first-seen order
+    (hash-group order, then batch order), independent of thread count.
+    Python-dict fallback keeps the same semantics without the toolchain
+    (single "group": group order == batch order at n_groups=1; tests pin
+    C++ vs fallback equivalence at n_groups=1).
+    """
+
+    def __init__(self, n_groups: int = 16, use_native: Optional[bool] = None):
+        self._lib = get_lib() if use_native in (None, True) else None
+        if use_native is True and self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.n_groups = int(n_groups)
+        if self._lib is not None:
+            self._h = ctypes.c_void_p(self._lib.hidx_create(self.n_groups))
+            if not self._h:
+                raise ValueError(f"bad n_groups {n_groups}")
+            self._fb = None
+        else:
+            self._h = None
+            self._fb = {}          # key -> slot (or -1 pending)
+            self._fb_keys = []     # keys by slot
+            self._fb_cap_ovf = 0
+            self._fb_uniq_ovf = 0
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.hidx_destroy(self._h)
+            self._h = None
+
+    # -- lifecycle -------------------------------------------------------
+    def reset(self) -> None:
+        if self._h is not None:
+            self._lib.hidx_reset(self._h)
+        else:
+            self._fb = {}
+            self._fb_keys = []
+            self._fb_cap_ovf = 0
+            self._fb_uniq_ovf = 0
+
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size for ~n_rows keys (optional; kills rehash churn)."""
+        if self._h is not None:
+            self._lib.hidx_reserve(self._h, int(n_rows))
+
+    @property
+    def size(self) -> int:
+        return self.stats()[0]
+
+    def stats(self) -> Tuple[int, int, int]:
+        """(materialized rows, cumulative row-capacity overflow, cumulative
+        unique-width overflow)."""
+        if self._h is not None:
+            out = np.zeros((4,), np.int64)
+            self._lib.hidx_stats(self._h, out)
+            return int(out[0]), int(out[1]), int(out[2])
+        return len(self._fb_keys), self._fb_cap_ovf, self._fb_uniq_ovf
+
+    # -- the hot call ----------------------------------------------------
+    def resolve(self, keys: np.ndarray, u_out: int, null_slot: int,
+                row_capacity: int, readonly: bool = False):
+        """Resolve a flat int64 id batch (-1 = padding).
+
+        Returns (ukeys int64[u_out] (-1 padded), uslots int32[u_out],
+        inverse int32[n], created uint8[u_out], counts int32[u_out],
+        n_unique, n_overflow). Lane ``u_out - 1`` is the overflow group.
+        In readonly mode ``created`` flags keys MISSING from the index
+        (callers substitute their deterministic init row), and nothing is
+        mutated.
+        """
+        keys = np.ascontiguousarray(keys, np.int64).reshape(-1)
+        n = keys.shape[0]
+        inverse = np.empty((n,), np.int32)
+        ukeys = np.empty((u_out,), np.int64)
+        uslots = np.empty((u_out,), np.int32)
+        created = np.empty((u_out,), np.uint8)
+        counts = np.empty((u_out,), np.int32)
+        if self._h is not None:
+            rc = int(self._lib.hidx_resolve(
+                self._h, keys, n, u_out, null_slot, row_capacity,
+                1 if readonly else 0, inverse, ukeys, uslots, created,
+                counts))
+            if rc < 0:
+                raise ValueError("hidx_resolve failed")
+            return (ukeys, uslots, inverse, created, counts,
+                    rc >> 32, rc & 0xFFFFFFFF)
+        return self._fb_resolve(keys, u_out, null_slot, row_capacity,
+                                readonly, inverse, ukeys, uslots, created,
+                                counts)
+
+    def _fb_resolve(self, keys, u_out, null_slot, row_capacity, readonly,
+                    inverse, ukeys, uslots, created, counts):
+        ukeys[:] = -1
+        uslots[:] = null_slot
+        created[:] = 0
+        counts[:] = 0
+        ovf = u_out - 1
+        local: dict = {}
+        n_unique = 0
+        n_overflow = 0
+        for i, k in enumerate(keys.tolist()):
+            li = local.get(k)
+            if li is None:
+                li = len(local)
+                local[k] = li
+                gi = min(li, ovf)
+                if k != -1 and li >= ovf:
+                    n_overflow += 1
+                if k != -1 and li < ovf:
+                    n_unique += 1
+                    ukeys[li] = k
+                    s = self._fb.get(k)
+                    if readonly:
+                        if s is None or s < 0:
+                            created[li] = 1  # MISSING marker
+                            s = None
+                    elif s is None or s < 0:
+                        if len(self._fb_keys) < row_capacity:
+                            s = len(self._fb_keys)
+                            self._fb[k] = s
+                            self._fb_keys.append(k)
+                            created[li] = 1
+                        else:
+                            self._fb[k] = -1  # pending: known, no row yet
+                            self._fb_cap_ovf += 1
+                            s = None
+                    if s is not None:
+                        uslots[li] = s
+            gi = min(li, ovf)
+            inverse[i] = gi
+            if k != -1 and gi < ovf:
+                counts[gi] += 1
+        self._fb_uniq_ovf += n_overflow
+        return ukeys, uslots, inverse, created, counts, n_unique, n_overflow
+
+    # -- checkpoint / eviction ------------------------------------------
+    def export_keys(self) -> np.ndarray:
+        """Materialized keys in slot order: key of slot i at index i."""
+        n = self.size
+        out = np.empty((n,), np.int64)
+        if self._h is not None:
+            self._lib.hidx_export(self._h, out, n)
+            return out
+        out[:] = self._fb_keys
+        return out
+
+    def load_keys(self, keys: np.ndarray) -> None:
+        """Rebuild from a dense key list (restore): key i -> slot i."""
+        keys = np.ascontiguousarray(keys, np.int64).reshape(-1)
+        if self._h is not None:
+            if int(self._lib.hidx_load(self._h, keys, keys.shape[0])) < 0:
+                raise ValueError("duplicate or invalid key in load_keys")
+            return
+        self.reset()
+        for i, k in enumerate(keys.tolist()):
+            if k == -1 or k in self._fb:
+                raise ValueError("duplicate or invalid key in load_keys")
+            self._fb[k] = i
+            self._fb_keys.append(k)
+
+    def compact(self, keep: np.ndarray) -> np.ndarray:
+        """Drop rows where ``keep[slot]`` is False, re-densify (save-time
+        eviction). Returns old_to_new int32[old_size], -1 where dropped."""
+        keep = np.ascontiguousarray(keep, np.uint8).reshape(-1)
+        old_n = self.size
+        assert keep.shape[0] == old_n
+        old_to_new = np.empty((old_n,), np.int32)
+        if self._h is not None:
+            self._lib.hidx_compact(self._h, keep, old_to_new)
+            return old_to_new
+        kept = [k for i, k in enumerate(self._fb_keys) if keep[i]]
+        j = 0
+        for i in range(old_n):
+            if keep[i]:
+                old_to_new[i] = j
+                j += 1
+            else:
+                old_to_new[i] = -1
+        self.load_keys(np.asarray(kept, np.int64))
+        return old_to_new
 
 
 def criteo_parse_chunk(buf: bytes, max_rows: int):

@@ -23,6 +23,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <thread>
@@ -406,6 +407,542 @@ int64_t criteo_parse(const char* buf, int64_t len, int64_t max_rows,
   }
   *consumed = (int64_t)(row_start - buf);
   return rows;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// HostIndexResolver: the host-resident key -> dense-slot index behind the
+// host-index embedding fast path.
+//
+// Role: the reference keeps the EmbeddingVariable key index in CPU hash
+// maps probed inside the gather/apply kernels (tensorflow/core/framework/
+// embedding/dense_hash_map.h, lockless_hash_map.h:41); this resolver plays
+// the same role for the TPU engine, but *pipelined*: while the device
+// executes step N, the host resolves step N+1's ids into
+// (unique keys, dense row slots, inverse permutation, created flags,
+// multiplicities) so the jitted step needs NO on-device dedup sort and NO
+// hash-table probe — its sparse path collapses to gather/segment/scatter.
+//
+// Layout: keys are sharded over n_groups sub-maps by key hash (pure in the
+// key, so restore can regroup); row slots are assigned DENSELY in
+// deterministic first-seen order (groups in index order, positions in
+// batch order), independent of thread count. "Pending" map entries
+// (slot == -1) exist when the row store was full or the unique budget
+// overflowed: the key is known but has no row yet; it materializes on a
+// later batch once there is room, and reads the null row meanwhile —
+// byte-identical to the device index's overflow semantics.
+namespace {
+
+// one 16B entry: 4 per cache line, never straddles a line, so the hot
+// loop's single-line prefetch covers the whole probe window. `meta` packs
+// the in-batch dedup scratch: epoch (12 bits, kNoEpoch = invalid, swept
+// on wrap) | lidx (20 bits, batch-local unique index).
+struct IdxEnt {
+  int64_t key;
+  int32_t slot;   // -1 = pending (no row assigned yet)
+  uint32_t meta;
+};
+static constexpr uint32_t kNoEpoch = 0xFFFu;
+static constexpr uint32_t kLidxBits = 20;
+static constexpr uint32_t kLidxMask = (1u << kLidxBits) - 1;
+
+struct IdxGroup {
+  static constexpr int64_t kEmpty = INT64_MIN;
+  IdxEnt* ents = nullptr;
+  size_t size = 0, mask = 0;
+  bool grew_in_batch = false;
+
+  static IdxEnt* alloc(size_t cap) {
+    void* p = nullptr;
+    if (posix_memalign(&p, 2 << 20, cap * sizeof(IdxEnt)) != 0)
+      p = malloc(cap * sizeof(IdxEnt));
+#ifdef MADV_HUGEPAGE
+    madvise(p, cap * sizeof(IdxEnt), MADV_HUGEPAGE);
+#endif
+    IdxEnt* e = (IdxEnt*)p;
+    for (size_t i = 0; i < cap; ++i)
+      e[i] = IdxEnt{kEmpty, -1, kNoEpoch << kLidxBits};
+    return e;
+  }
+
+  void init(size_t cap_pow2) {
+    free(ents);
+    ents = alloc(cap_pow2);
+    size = 0;
+    mask = cap_pow2 - 1;
+    grew_in_batch = false;
+  }
+
+  void grow() {
+    IdxEnt* old = ents;
+    size_t old_cap = mask + 1;
+    size_t cap = old_cap * 2;
+    ents = alloc(cap);
+    mask = cap - 1;
+    for (size_t i = 0; i < old_cap; ++i) {
+      const IdxEnt& e = old[i];
+      if (e.key == kEmpty) continue;
+      size_t j = (mix64((uint64_t)e.key) >> 8) & mask;
+      while (ents[j].key != kEmpty) j = (j + 1) & mask;
+      ents[j] = e;
+    }
+    free(old);
+    grew_in_batch = true;
+  }
+
+  void clear_epochs() {
+    for (size_t i = 0; i <= mask; ++i)
+      ents[i].meta = (kNoEpoch << kLidxBits) | (ents[i].meta & kLidxMask);
+  }
+
+  ~IdxGroup() { free(ents); }
+  IdxGroup() = default;
+  IdxGroup(const IdxGroup&) = delete;
+  IdxGroup& operator=(const IdxGroup&) = delete;
+  IdxGroup(IdxGroup&& o) noexcept
+      : ents(o.ents), size(o.size), mask(o.mask),
+        grew_in_batch(o.grew_in_batch) {
+    o.ents = nullptr;
+  }
+
+  // find-or-insert starting from a precomputed probe hash
+  size_t probe_insert(int64_t key, uint64_t h, bool* found) {
+    if (size * 2 >= mask + 1) grow();  // 0.5 max load: short probe chains
+    size_t j = (h >> 8) & mask;
+    while (ents[j].key != kEmpty) {
+      if (ents[j].key == key) { *found = true; return j; }
+      j = (j + 1) & mask;
+    }
+    ents[j] = IdxEnt{key, -1, kNoEpoch << kLidxBits};
+    ++size;
+    *found = false;
+    return j;
+  }
+
+  // find-only; returns SIZE_MAX when absent
+  size_t probe(int64_t key, uint64_t h) const {
+    size_t j = (h >> 8) & mask;
+    while (ents[j].key != kEmpty) {
+      if (ents[j].key == key) return j;
+      j = (j + 1) & mask;
+    }
+    return SIZE_MAX;
+  }
+
+  size_t probe(int64_t key) const {
+    return probe(key, mix64((uint64_t)key));
+  }
+};
+
+struct HostIndexResolver {
+  int64_t n_groups;  // power of two
+  std::vector<IdxGroup> groups;
+  int64_t next_slot = 0;
+  std::vector<int64_t> keys_by_slot;
+  int32_t cur_epoch = 0;
+  int64_t cap_overflow = 0;   // cumulative rows refused: row store full
+  int64_t uniq_overflow = 0;  // cumulative uniques beyond the static width
+  // per-call scratch (kept across calls to avoid churn)
+  std::vector<uint64_t> hash;  // one mix64 per position, reused everywhere
+  std::vector<std::vector<int64_t>> scr_keys;   // per-group first-seen uniques
+  std::vector<std::vector<int32_t>> scr_count;
+  std::vector<std::vector<uint32_t>> scr_j;     // map index per unique
+  std::vector<int64_t> goff;
+
+  explicit HostIndexResolver(int64_t g) : n_groups(g) {
+    groups.resize((size_t)g);
+    for (auto& m : groups) m.init(1024);
+    scr_keys.resize((size_t)g);
+    scr_count.resize((size_t)g);
+    scr_j.resize((size_t)g);
+    goff.resize((size_t)g + 1);
+  }
+
+  // owner group = low bits of the SAME hash whose upper bits start the
+  // in-group probe (>> 8 clears the owner bits; n_groups <= 256)
+  int group_of(int64_t key) const {
+    if (key == INT64_MIN) key = INT64_MIN + 1;  // match the resolve remap
+    return (int)(mix64((uint64_t)key) & (uint64_t)(n_groups - 1));
+  }
+
+  void reset() {
+    for (auto& m : groups) m.init(1024);
+    next_slot = 0;
+    keys_by_slot.clear();
+    cur_epoch = 0;
+    cap_overflow = 0;
+    uniq_overflow = 0;
+  }
+};
+
+template <typename F>
+static void over_groups(int64_t n_groups, F f) {
+  int nt = (int)std::min<int64_t>(
+      n_groups, std::max(1u, std::thread::hardware_concurrency()));
+  nt = std::min(nt, 8);
+  if (nt <= 1) {
+    for (int64_t g = 0; g < n_groups; ++g) f(g);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t)
+    ts.emplace_back([=] {
+      for (int64_t g = t; g < n_groups; g += nt) f(g);
+    });
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+HostIndexResolver* hidx_create(int64_t n_groups) {
+  if (n_groups < 1 || (n_groups & (n_groups - 1)) || n_groups > 256)
+    return nullptr;
+  return new HostIndexResolver(n_groups);
+}
+
+void hidx_destroy(HostIndexResolver* r) { delete r; }
+
+void hidx_reset(HostIndexResolver* r) { r->reset(); }
+
+// stats_out[0..3] = {next_slot, cap_overflow, uniq_overflow, n_groups}
+void hidx_stats(HostIndexResolver* r, int64_t* stats_out) {
+  stats_out[0] = r->next_slot;
+  stats_out[1] = r->cap_overflow;
+  stats_out[2] = r->uniq_overflow;
+  stats_out[3] = r->n_groups;
+}
+
+// Resolve one id batch. keys: int64[n] (-1 = padding). Outputs sized
+// inverse[n], ukeys/uslots/created/counts[u_out]; the last unique lane
+// (u_out-1) is the overflow group (null slot). mode 0 = train
+// (find-or-insert, assign dense slots), 1 = readonly (find-only, no
+// mutation of slots/keys; `created` then flags MISSING keys).
+// Returns (n_unique << 32) | n_overflow_batch, or -1 on error.
+int64_t hidx_resolve(HostIndexResolver* r, const int64_t* keys, int64_t n,
+                     int64_t u_out, int64_t null_slot, int64_t row_capacity,
+                     int64_t mode, int32_t* inverse, int64_t* ukeys,
+                     int32_t* uslots, uint8_t* created, int32_t* counts) {
+  if (u_out < 2 || n < 0 || n > (int64_t)kLidxMask) return -1;
+  const int64_t G = r->n_groups;
+  const uint64_t gmask = (uint64_t)(G - 1);
+  // 12-bit cycling epoch (kNoEpoch excluded); stale stamps are swept once
+  // per cycle so a recycled value can never alias a live one
+  const uint32_t ep = (uint32_t)(r->cur_epoch % 4094) + 1;
+  if (ep == 1 && r->cur_epoch > 0)
+    for (auto& m : r->groups) m.clear_epochs();
+  ++r->cur_epoch;
+  if ((int64_t)r->hash.size() < n) r->hash.resize((size_t)n);
+  uint64_t* hash = r->hash.data();
+
+  // phase 0: ONE mix64 per position, reused for both the owning group
+  // (low bits) and the in-group probe start (bits 8+)
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t k = keys[i];
+      if (k == INT64_MIN) k = INT64_MIN + 1;  // sentinel remap
+      hash[i] = mix64((uint64_t)k);
+    }
+  });
+
+  // readonly mode needs a side map for batch-dedup of MISSING keys (the
+  // main maps are not mutated beyond scratch stamps); sized from the true
+  // per-group position counts (skew-safe without worst-case allocation)
+  std::vector<std::vector<int64_t>> miss_keys;
+  std::vector<std::vector<int32_t>> miss_lidx;
+  std::vector<size_t> side_caps;
+  if (mode == 1) {
+    std::vector<int64_t> per_group((size_t)G, 0);
+    for (int64_t i = 0; i < n; ++i) ++per_group[hash[i] & gmask];
+    side_caps.assign((size_t)G, 64);
+    for (int64_t g = 0; g < G; ++g)
+      while ((int64_t)side_caps[(size_t)g] < 2 * (per_group[(size_t)g] + 2))
+        side_caps[(size_t)g] <<= 1;
+    miss_keys.assign((size_t)G, {});
+    miss_lidx.assign((size_t)G, {});
+  }
+
+  // the per-position body shared by the fused (1-thread) and per-group
+  // (multi-thread) schedules; scratch lists are per-group either way, so
+  // the resulting layout is schedule-independent (deterministic)
+  auto visit = [&](int64_t g, int64_t i, int32_t* empty_lidx,
+                   std::vector<int64_t>* mk, std::vector<int32_t>* ml,
+                   size_t smask) {
+    auto& m = r->groups[(size_t)g];
+    auto& uk = r->scr_keys[(size_t)g];
+    auto& ct = r->scr_count[(size_t)g];
+    auto& sj = r->scr_j[(size_t)g];
+    int64_t k = keys[i];
+    if (k == INT64_MIN) k = INT64_MIN + 1;
+    if (k == -1) {  // padding: one EMPTY lane per group
+      if (empty_lidx[g] < 0) {
+        empty_lidx[g] = (int32_t)uk.size();
+        uk.push_back(IdxGroup::kEmpty);
+        ct.push_back(0);
+        sj.push_back(UINT32_MAX);
+      }
+      inverse[i] = empty_lidx[g];
+      return;
+    }
+    size_t j;
+    if (mode == 1) {
+      j = m.probe(k, hash[i]);
+      if (j == SIZE_MAX) {  // side-map dedup of missing keys
+        size_t s = (hash[i] >> 8) & smask;
+        while ((*mk)[s] != IdxGroup::kEmpty && (*mk)[s] != k)
+          s = (s + 1) & smask;
+        if ((*mk)[s] == k) {
+          inverse[i] = (*ml)[s];
+          ++ct[(size_t)(*ml)[s]];
+          return;
+        }
+        (*mk)[s] = k;
+        (*ml)[s] = (int32_t)uk.size();
+        inverse[i] = (int32_t)uk.size();
+        uk.push_back(k);
+        ct.push_back(1);
+        sj.push_back(UINT32_MAX);
+        return;
+      }
+    } else {
+      bool found;
+      j = m.probe_insert(k, hash[i], &found);
+    }
+    IdxEnt& e = m.ents[j];
+    if ((e.meta >> kLidxBits) != ep) {  // first sight this batch
+      e.meta = (ep << kLidxBits) | (uint32_t)uk.size();
+      uk.push_back(k);
+      ct.push_back(0);
+      sj.push_back((uint32_t)j);
+    }
+    const uint32_t l = e.meta & kLidxMask;
+    inverse[i] = (int32_t)l;
+    ++ct[(size_t)l];
+  };
+
+  int nt = std::min<int>(
+      (int)G, std::min(8u, std::max(1u, std::thread::hardware_concurrency())));
+  std::vector<int32_t> empty_lidx((size_t)G, -1);
+  for (int64_t g = 0; g < G; ++g) {
+    r->scr_keys[(size_t)g].clear();
+    r->scr_count[(size_t)g].clear();
+    r->scr_j[(size_t)g].clear();
+    r->groups[(size_t)g].grew_in_batch = false;
+    if (mode == 1) {
+      miss_keys[(size_t)g].assign(side_caps[(size_t)g], IdxGroup::kEmpty);
+      miss_lidx[(size_t)g].assign(side_caps[(size_t)g], 0);
+    }
+  }
+  if (nt <= 1 && mode == 0) {
+    // specialized fused single-core train pass: one scan, raw pointers
+    // hoisted, grow-check only on the (rare) insert branch, probe cache
+    // line prefetched PF ahead — the duplicate-heavy common case runs in
+    // L1/L2 (its entry was touched earlier this batch)
+    constexpr int64_t PF = 16;
+    IdxGroup* const gs = r->groups.data();
+    for (int64_t i = 0; i < n; ++i) {
+      if (i + PF < n) {
+        const uint64_t hp = hash[i + PF];
+        const IdxGroup& mp = gs[hp & gmask];
+        __builtin_prefetch(&mp.ents[(hp >> 8) & mp.mask]);
+      }
+      int64_t k = keys[i];
+      if (k == INT64_MIN) k = INT64_MIN + 1;
+      const uint64_t h = hash[i];
+      const int64_t g = (int64_t)(h & gmask);
+      IdxGroup& m = gs[g];
+      auto& uk = r->scr_keys[(size_t)g];
+      if (k == -1) {
+        if (empty_lidx[(size_t)g] < 0) {
+          empty_lidx[(size_t)g] = (int32_t)uk.size();
+          uk.push_back(IdxGroup::kEmpty);
+          r->scr_count[(size_t)g].push_back(0);
+          r->scr_j[(size_t)g].push_back(UINT32_MAX);
+        }
+        inverse[i] = empty_lidx[(size_t)g];
+        continue;
+      }
+      size_t j = (h >> 8) & m.mask;
+      IdxEnt* e = &m.ents[j];
+      while (e->key != IdxGroup::kEmpty && e->key != k) {
+        j = (j + 1) & m.mask;
+        e = &m.ents[j];
+      }
+      if (e->key == IdxGroup::kEmpty) {  // insert (grow-check here only)
+        if (m.size * 2 >= m.mask + 1) {
+          m.grow();
+          bool found;
+          j = m.probe_insert(k, h, &found);
+          e = &m.ents[j];
+        } else {
+          *e = IdxEnt{k, -1, kNoEpoch << kLidxBits};
+          ++m.size;
+        }
+      }
+      if ((e->meta >> kLidxBits) != ep) {
+        e->meta = (ep << kLidxBits) | (uint32_t)uk.size();
+        uk.push_back(k);
+        r->scr_count[(size_t)g].push_back(0);
+        r->scr_j[(size_t)g].push_back((uint32_t)j);
+      }
+      const uint32_t l = e->meta & kLidxMask;
+      inverse[i] = (int32_t)l;
+      ++r->scr_count[(size_t)g][(size_t)l];
+    }
+  } else if (nt <= 1) {
+    constexpr int64_t PF = 16;
+    for (int64_t i = 0; i < n; ++i) {
+      if (i + PF < n) {
+        const uint64_t hp = hash[i + PF];
+        const IdxGroup& mp = r->groups[hp & gmask];
+        __builtin_prefetch(&mp.ents[(hp >> 8) & mp.mask]);
+      }
+      const size_t gi = hash[i] & gmask;
+      visit((int64_t)gi, i, empty_lidx.data(),
+            mode == 1 ? &miss_keys[gi] : nullptr,
+            mode == 1 ? &miss_lidx[gi] : nullptr,
+            mode == 1 ? side_caps[gi] - 1 : 0);
+    }
+  } else {
+    over_groups(G, [&](int64_t g) {
+      for (int64_t i = 0; i < n; ++i)
+        if ((int64_t)(hash[i] & gmask) == g)
+          visit(g, i, empty_lidx.data(),
+                mode == 1 ? &miss_keys[(size_t)g] : nullptr,
+                mode == 1 ? &miss_lidx[(size_t)g] : nullptr,
+                mode == 1 ? side_caps[(size_t)g] - 1 : 0);
+    });
+  }
+
+  // barrier: group offsets + deterministic dense slot assignment
+  int64_t total = 0;
+  for (int64_t g = 0; g < G; ++g) {
+    r->goff[(size_t)g] = total;
+    total += (int64_t)r->scr_keys[(size_t)g].size();
+  }
+  r->goff[(size_t)G] = total;
+  const int64_t ovf_lane = u_out - 1;
+  int64_t n_unique = 0, n_overflow = 0;
+
+  // prefill outputs
+  parallel_for(u_out, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      ukeys[i] = -1;
+      uslots[i] = (int32_t)null_slot;
+      created[i] = 0;
+      counts[i] = 0;
+    }
+  });
+
+  // unique lanes + slot assignment (slot order: group order, then
+  // first-seen order — deterministic, independent of thread count).
+  // scr_j map indices stay valid unless the group's map grew this batch.
+  for (int64_t g = 0; g < G; ++g) {
+    auto& m = r->groups[(size_t)g];
+    auto& uk = r->scr_keys[(size_t)g];
+    auto& ct = r->scr_count[(size_t)g];
+    auto& sj = r->scr_j[(size_t)g];
+    const int64_t off = r->goff[(size_t)g];
+    const bool stale_j = m.grew_in_batch;
+    for (size_t l = 0; l < uk.size(); ++l) {
+      if (uk[l] == IdxGroup::kEmpty) continue;
+      const int64_t gi = off + (int64_t)l;
+      if (gi >= ovf_lane) { ++n_overflow; continue; }
+      ++n_unique;
+      ukeys[gi] = uk[l];
+      counts[gi] = ct[l];
+      if (mode == 1) {
+        size_t j = (sj[l] == UINT32_MAX) ? SIZE_MAX
+                   : (stale_j ? m.probe(uk[l]) : (size_t)sj[l]);
+        if (j != SIZE_MAX && m.ents[j].slot >= 0)
+          uslots[gi] = m.ents[j].slot;
+        else
+          created[gi] = 1;  // readonly: MISSING marker
+        continue;
+      }
+      size_t j = stale_j ? m.probe(uk[l]) : (size_t)sj[l];
+      IdxEnt& e = m.ents[j];
+      if (e.slot < 0) {
+        if (r->next_slot < row_capacity) {
+          e.slot = (int32_t)r->next_slot++;
+          r->keys_by_slot.push_back(uk[l]);
+          created[gi] = 1;
+        } else {
+          ++r->cap_overflow;
+        }
+      }
+      if (e.slot >= 0) uslots[gi] = e.slot;
+    }
+  }
+  r->uniq_overflow += n_overflow;
+
+  // lift inverse to global unique indices
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t gi = r->goff[hash[i] & gmask] + inverse[i];
+      inverse[i] = (int32_t)(gi >= ovf_lane ? ovf_lane : gi);
+    }
+  });
+  return (n_unique << 32) | (n_overflow & 0xFFFFFFFFll);
+}
+
+// pre-size the key buffer and group maps for ~n_rows keys (kills the
+// rehash churn of incremental growth; purely an optimization)
+void hidx_reserve(HostIndexResolver* r, int64_t n_rows) {
+  if (n_rows <= 0) return;
+  r->keys_by_slot.reserve((size_t)n_rows);
+  size_t per = 1024;
+  while ((int64_t)per < (n_rows / r->n_groups + 1) * 2) per <<= 1;
+  for (auto& m : r->groups)
+    while (m.mask + 1 < per) m.grow();
+}
+
+// all materialized keys in slot order; returns next_slot
+int64_t hidx_export(HostIndexResolver* r, int64_t* keys_out, int64_t max_n) {
+  int64_t n = std::min<int64_t>(r->next_slot, max_n);
+  std::memcpy(keys_out, r->keys_by_slot.data(), sizeof(int64_t) * (size_t)n);
+  return n;
+}
+
+// rebuild from a dense key list: key i -> slot i. Returns n, or -1 on a
+// duplicate key. Resets pending/overflow state.
+int64_t hidx_load(HostIndexResolver* r, const int64_t* keys, int64_t n) {
+  r->reset();
+  hidx_reserve(r, n);
+  r->keys_by_slot.assign(keys, keys + n);
+  r->next_slot = n;
+  for (int64_t i = 0; i < n; ++i) {
+    if (keys[i] == -1) return -1;
+    int64_t k = keys[i] == INT64_MIN ? INT64_MIN + 1 : keys[i];
+    auto& m = r->groups[(size_t)r->group_of(k)];
+    bool found;
+    size_t j = m.probe_insert(k, mix64((uint64_t)k), &found);
+    if (found) return -1;
+    m.ents[j].slot = (int32_t)i;
+  }
+  return n;
+}
+
+// drop rows where keep[slot] == 0 and re-densify (save-time eviction /
+// Shrink). old_to_new[old_slot] = new slot, or -1 when dropped. Pending
+// map entries are discarded. Returns the new size.
+int64_t hidx_compact(HostIndexResolver* r, const uint8_t* keep,
+                     int32_t* old_to_new) {
+  const int64_t old_n = r->next_slot;
+  std::vector<int64_t> kept;
+  kept.reserve((size_t)old_n);
+  for (int64_t i = 0; i < old_n; ++i) {
+    if (keep[i]) {
+      old_to_new[i] = (int32_t)kept.size();
+      kept.push_back(r->keys_by_slot[(size_t)i]);
+    } else {
+      old_to_new[i] = -1;
+    }
+  }
+  hidx_load(r, kept.data(), (int64_t)kept.size());
+  return (int64_t)kept.size();
 }
 
 }  // extern "C"

@@ -1,0 +1,332 @@
+"""Host-index fast path: semantics must be IDENTICAL to the device-index
+engine (reference parity: the CPU-hash-map index of
+tensorflow/core/framework/embedding/dense_hash_map.h, rebuilt as a
+pipelined C++ resolver — see deeprec_tpu/host_index.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import deeprec_tpu as dr
+from deeprec_tpu import feature_column as fc
+from deeprec_tpu.data.criteo import CAT_NAMES, DENSE_NAMES, SyntheticCriteo
+from deeprec_tpu.host_index import HostEVState, HostIndexEmbeddingCollection
+from deeprec_tpu.models import ctr
+from deeprec_tpu.optim import sparse as sopt
+from deeprec_tpu.train import metrics as metrics_lib
+from deeprec_tpu.train.trainer import Trainer
+from deeprec_tpu.utils.native import HostIndexResolver, get_lib
+
+NATIVE = get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Resolver unit level: the native C++ and the pure-python fallback are one
+# semantics (n_groups=1 pins identical unique ORDER too).
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib unavailable")
+def test_resolver_native_matches_fallback_fuzz():
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        nat = HostIndexResolver(n_groups=1, use_native=True)
+        fb = HostIndexResolver(use_native=False)
+        cap = 40 if trial == 1 else 1000  # trial 1: row-capacity overflow
+        for step in range(10):
+            keys = rng.choice(np.arange(-1, 70, dtype=np.int64), size=256)
+            ro = step % 3 == 2
+            a = nat.resolve(keys, 48, 100, cap, readonly=ro)
+            b = fb.resolve(keys, 48, 100, cap, readonly=ro)
+            for x, y, what in zip(a, b, ["ukeys", "uslots", "inverse",
+                                         "created", "counts", "nu", "nov"]):
+                assert np.array_equal(x, y), (trial, step, what)
+        assert nat.stats() == fb.stats()
+        keep = rng.random(nat.size) > 0.4
+        assert np.array_equal(nat.compact(keep), fb.compact(keep))
+        assert np.array_equal(nat.export_keys(), fb.export_keys())
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib unavailable")
+def test_resolver_group_invariance():
+    """Semantics (key sets, counts, slot bijection) do not depend on the
+    group fan-out — only the unique lane ORDER does."""
+    rng = np.random.default_rng(1)
+    r16 = HostIndexResolver(n_groups=16, use_native=True)
+    r1 = HostIndexResolver(n_groups=1, use_native=True)
+    for _ in range(5):
+        keys = rng.choice(np.arange(-1, 900, dtype=np.int64), size=2000)
+        a = r16.resolve(keys, 1024, 9999, 10000)
+        b = r1.resolve(keys, 1024, 9999, 10000)
+        assert a[5] == b[5]  # n_unique
+        ka = {int(k): int(c) for k, c in zip(a[0], a[4]) if k != -1}
+        kb = {int(k): int(c) for k, c in zip(b[0], b[4]) if k != -1}
+        assert ka == kb
+    assert sorted(r16.export_keys().tolist()) == sorted(r1.export_keys().tolist())
+
+
+def test_resolver_overflow_and_pending():
+    """Row-capacity overflow = pending keys that materialize later; the
+    unique-width overflow lane reads the null slot."""
+    r = HostIndexResolver(use_native=False)
+    keys = np.arange(100, dtype=np.int64)
+    uk, us, inv, cr, ct, nu, nov = r.resolve(keys, 11, 999, 1000)
+    assert nu == 10 and nov == 90
+    assert (inv[10:] == 10).all() and us[10] == 999
+    uk, us, inv, cr, ct, nu, nov = r.resolve(keys[:5], 11, 999, 1000)
+    assert cr[:5].sum() == 0  # already materialized
+    uk, us, inv, cr, ct, nu, nov = r.resolve(keys[20:25], 11, 999, 1000)
+    assert cr[:5].sum() == 5  # previously-overflowed keys create NOW
+
+
+# ---------------------------------------------------------------------------
+# Trainer level: bit-equality with the device-index engine.
+
+
+def _build(host, dim=8, cap=1 << 13, batch=128, meta=False, seq=False,
+           **coll_kw):
+    numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES]
+    cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), dim)
+            for n in CAT_NAMES]
+    forward = None
+    if seq:
+        cols = [
+            fc.EmbeddingColumn(
+                fc.CategoricalColumn("item", shared_embedding="it"), dim),
+            fc.SequenceEmbeddingColumn(
+                fc.CategoricalColumn("hist", max_length=6,
+                                     shared_embedding="it"), dim),
+            fc.EmbeddingColumn(fc.CategoricalColumn("user"), dim),
+        ]
+    kw = dict(coll_kw)
+    if meta:
+        kw.update(counter_filter=dr.CounterFilter(filter_freq=2),
+                  evict=dr.GlobalStepEvict(steps_to_live=1 << 30))
+    C = HostIndexEmbeddingCollection if host else fc.EmbeddingCollection
+    coll = C(cols, name="emb", capacity=cap,
+             initializer=dr.Initializer(kind="normal", scale=0.05),
+             max_unique=26 * batch, fused_slot_columns=dim,
+             fused_slot_init=0.1, **kw)
+    emb_names = [c.name for c in cols
+                 if not isinstance(c, fc.SequenceEmbeddingColumn)]
+    if seq:
+        emb_names = emb_names + ["hist"]  # mean-pooled by the forward
+
+        def forward(apply_fn, dense, outputs, train):
+            emb, seqs = outputs["emb"]
+            pooled = dict(emb)
+            rows, mask = seqs["hist"]
+            m = mask.astype(rows.dtype)
+            denom = jnp.maximum(m.sum(-1, keepdims=True), 1.0)
+            pooled["hist"] = (rows * m[..., None]).sum(1) / denom
+            return apply_fn(dense, pooled, train=train)
+    else:
+        forward = None
+    model = ctr.DLRM(emb_names=emb_names, emb_dim=dim,
+                     bottom_units=(32,), top_units=(64, 32))
+    tr = Trainer(model=model, numeric_columns=numeric,
+                 collections={"emb": coll},
+                 sparse_optimizers={"emb": sopt.sparse_adagrad_fused(0.05)},
+                 dense_optimizer=optax.adagrad(0.05), forward=forward)
+    return tr, coll
+
+
+def _seq_batch(rng, batch):
+    return {
+        "item": rng.integers(0, 500, size=batch, dtype=np.int64),
+        "hist": np.where(rng.random((batch, 6)) < 0.3, np.int64(-1),
+                         rng.integers(0, 500, (batch, 6), dtype=np.int64)),
+        "user": rng.integers(1000, 1400, size=batch, dtype=np.int64),
+        **{n: rng.normal(size=batch).astype(np.float32) for n in DENSE_NAMES},
+        "label": (rng.random(batch) < 0.4).astype(np.float32),
+    }
+
+
+def _table_dict(coll, bundle, host, step):
+    if host:
+        a = coll.ckpt_arrays(bundle, 1, None, False, step)
+    else:
+        from deeprec_tpu.checkpoint.saver import table_snapshot_host
+        a = table_snapshot_host(coll.config, bundle.ev, bundle.slot)
+    return (dict(zip(a["keys"].tolist(), np.asarray(a["values"]))),
+            dict(zip(a["keys"].tolist(), a["freqs"].tolist())),
+            dict(zip(a["keys"].tolist(), a["versions"].tolist())))
+
+
+def _run_pair(meta=False, steps=6):
+    gen = SyntheticCriteo(batch_size=128, seed=11)
+    batches = list(gen.take(steps))
+    tr_d, c_d = _build(False, meta=meta)
+    tr_h, c_h = _build(True, meta=meta)
+    sd = tr_d.init(jax.random.key(0), batches[0])
+    sh = tr_h.init(jax.random.key(0), batches[0])
+    for b in batches:
+        sd = tr_d.train_step(sd, b)
+        sh = tr_h.train_step(sh, b)
+    return tr_d, tr_h, c_d, c_h, sd, sh
+
+
+def test_host_trainer_bit_equal_to_device_trainer():
+    tr_d, tr_h, c_d, c_h, sd, sh = _run_pair()
+    vd, fd, _ = _table_dict(c_d, sd.tables["emb"], False, int(sd.step))
+    vh, fh, _ = _table_dict(c_h, sh.tables["emb"], True, int(sh.step))
+    assert vd.keys() == vh.keys()
+    assert fd == fh
+    for k in vd:
+        np.testing.assert_array_equal(vd[k], vh[k])
+    assert float(sd.metrics.loss_sum) == pytest.approx(
+        float(sh.metrics.loss_sum), rel=1e-6)
+
+    # eval on unseen keys: missing -> deterministic init in both paths
+    md, mh = metrics_lib.create(), metrics_lib.create()
+    for b in SyntheticCriteo(batch_size=128, seed=99).take(2):
+        md = tr_d.eval_step(sd, md, b)
+        mh = tr_h.eval_step(sh, mh, b)
+    assert metrics_lib.auc(md) == pytest.approx(metrics_lib.auc(mh), abs=1e-6)
+
+
+def test_host_trainer_metadata_parity():
+    """CounterFilter admission + version stamps match the device engine."""
+    tr_d, tr_h, c_d, c_h, sd, sh = _run_pair(meta=True)
+    vd, fd, verd = _table_dict(c_d, sd.tables["emb"], False, int(sd.step))
+    vh, fh, verh = _table_dict(c_h, sh.tables["emb"], True, int(sh.step))
+    assert vd.keys() == vh.keys()
+    assert fd == fh and verd == verh
+    for k in vd:
+        np.testing.assert_array_equal(vd[k], vh[k])
+
+
+def test_host_trainer_sequence_and_shared_embedding():
+    """Sequence columns + shared-embedding groups (unique_cols-ineligible
+    on the device path) are fully supported by the host resolver."""
+    rng = np.random.default_rng(3)
+    batches = [_seq_batch(rng, 64) for _ in range(5)]
+    tr_d, c_d = _build(False, seq=True)
+    tr_h, c_h = _build(True, seq=True)
+    sd = tr_d.init(jax.random.key(0), batches[0])
+    sh = tr_h.init(jax.random.key(0), batches[0])
+    for b in batches:
+        sd = tr_d.train_step(sd, b)
+        sh = tr_h.train_step(sh, b)
+    assert float(sd.metrics.loss_sum) == pytest.approx(
+        float(sh.metrics.loss_sum), rel=1e-6)
+    vd, fd, _ = _table_dict(c_d, sd.tables["emb"], False, int(sd.step))
+    vh, fh, _ = _table_dict(c_h, sh.tables["emb"], True, int(sh.step))
+    assert vd.keys() == vh.keys() and fd == fh
+    for k in vd:
+        np.testing.assert_array_equal(vd[k], vh[k])
+
+
+def test_host_growth_under_load():
+    """Tiny capacity: rows overflow -> maybe_grow doubles the ROW STORE
+    without moving slots; pending keys materialize after growth."""
+    gen = SyntheticCriteo(batch_size=128, seed=5)
+    batches = list(gen.take(10))
+    tr, coll = _build(True, cap=1 << 9)
+    st = tr.init(jax.random.key(0), batches[0])
+    grew = False
+    for b in batches:
+        st = tr.train_step(st, b)
+        before = coll.config.capacity
+        st = tr.maybe_grow(st)
+        grew |= coll.config.capacity > before
+    assert grew
+    size, cap_ovf, _ = coll._resolver.stats()
+    assert size > 1 << 9  # beyond the original capacity
+    h = tr.table_health(st)["emb"]
+    assert h["size"] == size and h["capacity"] == coll.config.capacity
+    # every materialized key's row is live and finite
+    arrays = coll.ckpt_arrays(st.tables["emb"], 1, None, False, int(st.step))
+    assert arrays["keys"].shape[0] == size
+    assert np.isfinite(arrays["values"]).all()
+
+
+def test_host_checkpoint_roundtrip_and_cross_path(tmp_path):
+    """Full+incremental save from the HOST trainer restores into BOTH a
+    host trainer and a DEVICE trainer (and vice versa) — the 4-array
+    checkpoint format is one interchange."""
+    from deeprec_tpu.checkpoint.saver import CheckpointManager
+
+    gen = SyntheticCriteo(batch_size=128, seed=21)
+    batches = list(gen.take(8))
+    kw = dict(evict=dr.GlobalStepEvict(steps_to_live=1 << 30))  # version-tracked
+    tr_h, c_h = _build(True, **kw)
+    sh = tr_h.init(jax.random.key(0), batches[0])
+    mgr = CheckpointManager(str(tmp_path / "h"))
+    for b in batches[:4]:
+        sh = tr_h.train_step(sh, b)
+    mgr.save(tr_h, sh, evict=False)
+    for b in batches[4:6]:
+        sh = tr_h.train_step(sh, b)
+    mgr.save_incremental(tr_h, sh)
+
+    # host -> host restore
+    tr_h2, c_h2 = _build(True, **kw)
+    s2 = tr_h2.init(jax.random.key(1), batches[0])
+    s2, ok = CheckpointManager(str(tmp_path / "h")).restore(tr_h2, s2)
+    assert ok
+    v1, f1, _ = _table_dict(c_h, sh.tables["emb"], True, int(sh.step))
+    v2, f2, _ = _table_dict(c_h2, s2.tables["emb"], True, int(s2.step))
+    assert v1.keys() == v2.keys() and f1 == f2
+    for k in v1:
+        np.testing.assert_array_equal(v1[k], v2[k])
+
+    # host ckpt -> DEVICE trainer; both continue and stay equal
+    tr_d, c_d = _build(False, **kw)
+    sd = tr_d.init(jax.random.key(2), batches[0])
+    sd, ok = CheckpointManager(str(tmp_path / "h")).restore(tr_d, sd)
+    assert ok
+    for b in batches[6:]:
+        sd = tr_d.train_step(sd, b)
+        s2 = tr_h2.train_step(s2, b)
+    vd, fd, _ = _table_dict(c_d, sd.tables["emb"], False, int(sd.step))
+    vh, fh, _ = _table_dict(c_h2, s2.tables["emb"], True, int(s2.step))
+    assert vd.keys() == vh.keys() and fd == fh
+    for k in vd:
+        np.testing.assert_allclose(vd[k], vh[k], atol=1e-6)
+
+    # DEVICE ckpt -> host trainer
+    mgr_d = CheckpointManager(str(tmp_path / "d"))
+    mgr_d.save(tr_d, sd, evict=False)
+    tr_h3, c_h3 = _build(True, **kw)
+    s3 = tr_h3.init(jax.random.key(3), batches[0])
+    s3, ok = CheckpointManager(str(tmp_path / "d")).restore(tr_h3, s3)
+    assert ok
+    v3, f3, _ = _table_dict(c_h3, s3.tables["emb"], True, int(s3.step))
+    assert v3.keys() == vd.keys() and f3 == fd
+    for k in v3:
+        np.testing.assert_array_equal(v3[k], vd[k])
+
+
+def test_host_save_time_eviction():
+    """evict=True at save applies the policy as a save filter (the
+    reference's Shrink-at-save, embedding_var.h:264-313)."""
+    gen = SyntheticCriteo(batch_size=128, seed=31)
+    batches = list(gen.take(4))
+    tr, coll = _build(True, evict=dr.GlobalStepEvict(steps_to_live=2))
+    st = tr.init(jax.random.key(0), batches[0])
+    for b in batches:
+        st = tr.train_step(st, b)
+    full = coll.ckpt_arrays(st.tables["emb"], 1, None, False, int(st.step))
+    evicted = coll.ckpt_arrays(st.tables["emb"], 1, None, True, int(st.step))
+    assert evicted["keys"].shape[0] < full["keys"].shape[0]
+    # surviving rows were touched within steps_to_live
+    assert (int(st.step) - evicted["versions"] < 2).all()
+
+
+def test_host_unsupported_configs_raise():
+    cols = [fc.EmbeddingColumn(fc.CategoricalColumn("a"), 4)]
+    with pytest.raises(NotImplementedError):
+        HostIndexEmbeddingCollection(
+            cols, capacity=64,
+            cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=100))
+    from deeprec_tpu.config import StorageOption, StorageType
+    with pytest.raises(NotImplementedError):
+        HostIndexEmbeddingCollection(
+            cols, capacity=64,
+            storage=StorageOption(storage_type=StorageType.HBM_DRAM))
+    coll = HostIndexEmbeddingCollection(cols, capacity=64)
+    with pytest.raises(NotImplementedError):
+        coll.sharded_table_spec("x", None)
