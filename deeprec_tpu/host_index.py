@@ -145,6 +145,8 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
                                            use_native=use_native)
         self._resolver.reserve(min(capacity, 1 << 22))
         self._last_cap_ovf = 0
+        self._sat_steps = 0   # train resolves that overflowed max_unique
+        self._max_nu = 0      # high-water unique demand
 
     # -- state ---------------------------------------------------------
     def init(self) -> HostEVState:
@@ -172,6 +174,9 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         ukeys, uslots, inverse, created, counts, nu, nov = \
             self._resolver.resolve(packed, u_out, null_slot=cap,
                                    row_capacity=cap, readonly=readonly)
+        if not readonly:
+            self._sat_steps += int(nov > 0)
+            self._max_nu = max(self._max_nu, int(nu) + int(nov))
         n = inverse.shape[0]
         buf = np.empty((4 * u_out + n + 4,), np.int32)
         hi, lo = K.split_np(ukeys)
@@ -310,10 +315,16 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         return None  # no device index; health comes from host_health()
 
     def host_health(self) -> Dict[str, int]:
+        """Same schema as Trainer.table_health's device rows, so the CLI
+        watchdog (auto-raise max_unique, growth alarms) works unchanged."""
         size, cap_ovf, uniq_ovf = self._resolver.stats()
         return {"size": size, "capacity": self.config.capacity,
+                "shards": 1,
                 "load_factor": size / self.config.capacity,
-                "overflow": cap_ovf, "unique_overflow": uniq_ovf,
+                "overflow": cap_ovf, "dropped": 0,
+                "unique_saturated_steps": self._sat_steps,
+                "max_n_unique": self._max_nu,
+                "unique_overflow": uniq_ovf,
                 "max_unique": self.config.max_unique}
 
     # -- mesh hooks: unsupported -------------------------------------------

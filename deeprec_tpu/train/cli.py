@@ -25,6 +25,8 @@ import argparse
 import dataclasses
 import json
 import time
+
+import numpy as np
 from typing import Callable, Dict, Optional, Sequence
 
 
@@ -100,6 +102,13 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="steps between host-tier demotion sweeps "
                         "(0 = every ev_evict_steps/2, else every "
                         "10*log_steps)")
+    p.add_argument("--host_index", action="store_true",
+                   help="host-index fast path: the key->slot index lives "
+                        "in the C++ HostIndexResolver, pipelined with the "
+                        "device step (no on-device dedup/probe; ~1.5x "
+                        "single-chip throughput, bit-exact). Falls back "
+                        "to the device engine for --mesh / tiered / CBF "
+                        "configs, which it does not support")
     p.add_argument("--max_unique_ratio", type=float, default=0.25,
                    help="static dedup-width cap as a fraction of the flat "
                         "id width (0 = exact dedup; see ops/unique.py)")
@@ -143,6 +152,26 @@ def ev_kwargs(args) -> dict:
             dram_row_budget=args.ev_dram_budget,
             ssd_path=args.ev_ssd_path)
     return kw
+
+
+def collection_cls(args):
+    """EmbeddingCollection class for this run: the host-index fast path
+    when --host_index is set and the config supports it, else the
+    all-on-device engine."""
+    from .. import feature_column as fc
+    if not getattr(args, "host_index", False):
+        return fc.EmbeddingCollection
+    reasons = []
+    if getattr(args, "mesh", 0):
+        reasons.append("--mesh")
+    if getattr(args, "ev_storage", "hbm") != "hbm":
+        reasons.append(f"--ev_storage {args.ev_storage}")
+    if reasons:
+        print(f"NOTE: --host_index unsupported with {', '.join(reasons)}; "
+              "using the device-index engine")
+        return fc.EmbeddingCollection
+    from ..host_index import HostIndexEmbeddingCollection
+    return HostIndexEmbeddingCollection
 
 
 def make_sparse_opt(args):
@@ -301,11 +330,43 @@ def run(spec: ModelSpec, args) -> dict:
     # demotion sweeps run at fence points every demote_steps
     demote_steps = 0
     prepare = tr.prepare_batch
+    finish = lambda p: p
     if tiered:
         demote_steps = args.demote_steps or (
             args.ev_evict_steps // 2 if args.ev_evict_steps
             else 10 * args.log_steps)
         prepare = lambda b: (tr.prepare_batch(b), tr.prepare_probe(b))
+    host_colls = {n: c for n, c in tr.collections.items()
+                  if hasattr(c, "pack_ids_eval")}  # host-index tables
+    staged_put = None
+    if host_colls and not tiered and not args.mesh:
+        # the host-index RESOLVE mutates the key index and must run
+        # single-threaded in step order — prefetch workers do only the
+        # pure-numpy packing (the packed ids stay HOST-side: the custom
+        # device_put below skips them); the cheap resolve (~2.6 ms)
+        # happens on the main thread right before dispatch (finish),
+        # overlapped with the device executing the previous step
+        from ..feature_column import pack_dense as _pd
+
+        def prepare(b):
+            dense = _pd(tr.numeric_columns, b) if tr.numeric_columns else None
+            dev_cats = {n: c.pack_ids(b) for n, c in tr.collections.items()
+                        if n not in host_colls}
+            host_np = {n: c.pack_ids_np(b) for n, c in host_colls.items()}
+            labels = (np.asarray(b["label"], np.float32)
+                      if "label" in b else None)
+            return (dense, dev_cats, labels), host_np
+
+        def staged_put(item):
+            dev, host_np = item
+            return jax.device_put(dev), host_np
+
+        def finish(p):
+            (dense, dev_cats, labels), host_np = p
+            cats = dict(dev_cats)
+            for n, v in host_np.items():
+                cats[n] = host_colls[n].pack_ids(v)
+            return dense, cats, labels
 
     def run_eval():
         mstate = M.create()
@@ -323,11 +384,13 @@ def run(spec: ModelSpec, args) -> dict:
     import itertools
     stream = itertools.chain([first], train_it)
     with staged(itertools.islice(stream, args.steps), prepare=prepare,
-                depth=args.prefetch_depth, workers=args.prefetch_workers) as pf:
+                depth=args.prefetch_depth, workers=args.prefetch_workers,
+                device_put=staged_put) as pf:
         for packed in pf:
             if tiered:
                 packed, probe = packed
                 state = tr.promote_packed(state, probe)
+            packed = finish(packed)
             state = tr._jit_train(state, *packed)
             done += 1
             if done % args.log_steps == 0:

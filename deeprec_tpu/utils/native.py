@@ -349,6 +349,13 @@ class HostIndexResolver:
                 self._h, keys, n, u_out, null_slot, row_capacity,
                 1 if readonly else 0, inverse, ukeys, uslots, created,
                 counts))
+            if rc == -2:
+                raise RuntimeError(
+                    "concurrent resolve detected: host-index resolves "
+                    "mutate the key index and must run single-threaded "
+                    "in step order (do NOT call pack_ids from prefetch "
+                    "workers — pack numpy there, resolve on the main "
+                    "thread; see train/cli.py)")
             if rc < 0:
                 raise ValueError("hidx_resolve failed")
             return (ukeys, uslots, inverse, created, counts,

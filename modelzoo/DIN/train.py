@@ -39,7 +39,7 @@ def build(args) -> cli.ModelSpec:
                                  shared_embedding="cate_space"),
             args.emb_dim),
     ]
-    coll = fc.EmbeddingCollection(
+    coll = cli.collection_cls(args)(
         cols, name="emb", capacity=args.capacity,
         initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
     model = sequence.DIN(

@@ -20,7 +20,7 @@ def build(args) -> cli.ModelSpec:
     numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES]
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), args.emb_dim)
             for n in CAT_NAMES]
-    coll = fc.EmbeddingCollection(
+    coll = cli.collection_cls(args)(
         cols, name="emb", capacity=args.capacity,
         initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
     model = ctr.DLRM(

@@ -31,7 +31,7 @@ def build(args) -> cli.ModelSpec:
                                  shared_embedding="item_space"),
             args.emb_dim, combiner="mean"),
     ]
-    coll = fc.EmbeddingCollection(
+    coll = cli.collection_cls(args)(
         cols, name="emb", capacity=args.capacity,
         initializer=Initializer("normal", scale=0.05), **cli.ev_kwargs(args))
     model = ctr.DSSM(

@@ -24,10 +24,10 @@ def build(args) -> cli.ModelSpec:
     wide_cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 1)
                  for n in CAT_NAMES]
     ev = cli.ev_kwargs(args)
-    coll = fc.EmbeddingCollection(
+    coll = cli.collection_cls(args)(
         cols, name="emb", capacity=args.capacity,
         initializer=Initializer("normal", scale=0.05), **ev)
-    wide = fc.EmbeddingCollection(
+    wide = cli.collection_cls(args)(
         wide_cols, name="wide", capacity=args.capacity,
         initializer=Initializer("zeros"), **ev)
     model = ctr.DeepFM(

@@ -538,6 +538,8 @@ struct IdxGroup {
 struct HostIndexResolver {
   int64_t n_groups;  // power of two
   std::vector<IdxGroup> groups;
+  std::atomic<int> busy{0};  // detects concurrent (mis)use: resolves
+  //                            must be serialized in step order
   int64_t next_slot = 0;
   std::vector<int64_t> keys_by_slot;
   int32_t cur_epoch = 0;
@@ -626,6 +628,12 @@ int64_t hidx_resolve(HostIndexResolver* r, const int64_t* keys, int64_t n,
                      int64_t mode, int32_t* inverse, int64_t* ukeys,
                      int32_t* uslots, uint8_t* created, int32_t* counts) {
   if (u_out < 2 || n < 0 || n > (int64_t)kLidxMask) return -1;
+  int expected = 0;
+  if (!r->busy.compare_exchange_strong(expected, 1)) return -2;
+  struct Unbusy {  // clear on every exit path
+    std::atomic<int>* b;
+    ~Unbusy() { b->store(0); }
+  } unbusy{&r->busy};
   const int64_t G = r->n_groups;
   const uint64_t gmask = (uint64_t)(G - 1);
   // 12-bit cycling epoch (kNoEpoch excluded); stale stamps are swept once
