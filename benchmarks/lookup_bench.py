@@ -59,6 +59,26 @@ def main():
         "metric": "lookup_or_create_ids_per_sec", "value": round(args.batch / dt),
         "unit": "ids/s", "ms_per_step": round(dt * 1e3, 2)}))
 
+    # the host-index resolver on the SAME id stream (the round-4 fast
+    # path's host half: find-or-insert + in-batch dedup + inverse build,
+    # single host core) — comparable row to the device number above
+    from deeprec_tpu.utils.native import HostIndexResolver, get_lib
+    if get_lib() is not None:
+        r = HostIndexResolver(n_groups=16)
+        u_out = args.batch // 4 + 1
+        raw = [(rng.zipf(args.zipf, size=args.batch)
+                % (args.capacity // 2)).astype(np.int64)
+               for _ in range(args.steps)]
+        r.resolve(raw[0], u_out, args.capacity, args.capacity)
+        t0 = time.perf_counter()
+        for b in raw[1:]:
+            r.resolve(b, u_out, args.capacity, args.capacity)
+        dt = (time.perf_counter() - t0) / (args.steps - 1)
+        print(json.dumps({
+            "metric": "host_index_resolve_ids_per_sec",
+            "value": round(args.batch / dt),
+            "unit": "ids/s", "ms_per_step": round(dt * 1e3, 2)}))
+
     # pure gather bandwidth over the unique slots
     u = args.batch // 4 + 1
     # without-replacement draw: the scatter below asserts unique_indices

@@ -52,6 +52,24 @@ def build_trainer(args):
     numeric = [fc.NumericColumn(n, log_normalize=True) for n in DENSE_NAMES]
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), args.emb_dim)
             for n in CAT_NAMES]
+    if args.host_index:
+        # the host-index fast path's operational soak: growth, admission
+        # filter, step eviction, incremental saves, failover — everything
+        # except the host TIER (device-engine-only); Trainer not Tiered
+        from deeprec_tpu.host_index import HostIndexEmbeddingCollection
+        from deeprec_tpu.train.trainer import Trainer
+        coll = HostIndexEmbeddingCollection(
+            cols, name="emb", capacity=args.capacity,
+            initializer=dr.Initializer("normal", scale=0.05),
+            max_unique=len(CAT_NAMES) * args.batch // 6,
+            counter_filter=dr.CounterFilter(filter_freq=2),
+            evict=dr.GlobalStepEvict(steps_to_live=args.steps_to_live))
+        model = ctr.DCN(emb_names=CAT_NAMES, cross_layers=3,
+                        deep_units=(512, 256, 64))
+        return Trainer(
+            model=model, numeric_columns=numeric, collections={"emb": coll},
+            sparse_optimizers={"emb": sopt.sparse_adagrad(0.05)},
+            dense_optimizer=optax.adagrad(0.05))
     coll = fc.EmbeddingCollection(
         cols, name="emb", capacity=args.capacity,
         initializer=dr.Initializer("normal", scale=0.05),
@@ -90,6 +108,9 @@ def main():
     ap.add_argument("--max-fences", type=int, default=None,
                     help="stop after N fences (deterministic smoke runs; "
                          "failover fires at N/2) instead of wall-clock")
+    ap.add_argument("--host_index", action="store_true",
+                    help="soak the host-index fast path (plain Trainer: "
+                         "growth/filter/evict/ckpt/failover, no host tier)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -136,16 +157,38 @@ def main():
 
     # promotion needs the RAW batch (host id packing); the jitted step
     # needs the PACKED one — workers produce both, device_put only the
-    # packed side (device_put'ing raw arrays would force a D2H later)
+    # packed side (device_put'ing raw arrays would force a D2H later).
+    # host-index: workers do only numpy packing (the RESOLVE mutates the
+    # key index and runs on the main thread, in step order — see
+    # train/cli.py), and there is no promotion.
     stream = iter(gen)
-    prep = lambda b: (b, tr.prepare_batch(b))
-    put = lambda rp: (rp[0], jax.device_put(rp[1]))
+    if args.host_index:
+        from deeprec_tpu.feature_column import pack_dense
+
+        prep = lambda b: (None, (pack_dense(tr.numeric_columns, b),
+                                 tr.collections["emb"].pack_ids_np(b),
+                                 np.asarray(b["label"], np.float32)))
+        put = lambda rp: rp
+
+        def run_step(state, raw, packed):
+            import jax.numpy as jnp
+            dense_np, ids_np, labels_np = packed
+            cats = {"emb": tr.collections["emb"].pack_ids(ids_np)}
+            return tr._jit_train(state, jnp.asarray(dense_np), cats,
+                                 jnp.asarray(labels_np))
+    else:
+        prep = lambda b: (b, tr.prepare_batch(b))
+        put = lambda rp: (rp[0], jax.device_put(rp[1]))
+
+        def run_step(state, raw, packed):
+            state = tr._promote_for_batch(state, raw)
+            return tr._jit_train(state, *packed)
     with staged(stream, prepare=prep, depth=8, device_put=put,
                 workers=args.prefetch_workers) as pf:
         pf_it = iter(pf)
         # warm the compile outside the timed region
         raw, packed = next(pf_it)
-        state = tr._jit_train(state, *packed)
+        state = run_step(state, raw, packed)
         float(state.metrics.count)     # D2H fence (tunnel-honest)
         n_fence = 0
         while (time.time() < deadline
@@ -153,8 +196,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.fence_every):
                 raw, packed = next(pf_it)
-                state = tr._promote_for_batch(state, raw)
-                state = tr._jit_train(state, *packed)
+                state = run_step(state, raw, packed)
             m = fence_stats(state)     # D2H read = the fence
             dt = (time.perf_counter() - t0) / args.fence_every
             n_fence += 1
@@ -168,7 +210,8 @@ def main():
             grown = tr.maybe_grow(state)
             if grown is not state:
                 state = grown
-            if n_fence % args.demote_every == 0:
+            if n_fence % args.demote_every == 0 \
+                    and hasattr(tr, "maybe_demote"):
                 state = tr.maybe_demote(state)
             h_prev = dict(last_health)
             last_health = _check_health(tr, state, None, last_health)
@@ -186,7 +229,8 @@ def main():
                 "ms_per_step": round(dt * 1e3, 3),
                 "capacity": tr.collections["emb"].config.capacity,
                 "hbm_rows": (last_health or {}).get("emb", {}).get("size", 0),
-                "tier_rows": tr.host_tier_rows("emb"),
+                "tier_rows": (tr.host_tier_rows("emb")
+              if hasattr(tr, "host_tier_rows") else 0),
                 "saves": dict(saves),
             })
 
@@ -240,7 +284,8 @@ def main():
             float(np.mean(ft[-10:]) / np.mean(ft[:10])), 3) if len(ft) >= 20
             else None,
         "capacity_final": tr.collections["emb"].config.capacity,
-        "tier_rows_final": tr.host_tier_rows("emb"),
+        "tier_rows_final": (tr.host_tier_rows("emb")
+                    if hasattr(tr, "host_tier_rows") else 0),
         "growth_events": int(sum(
             1 for a, b in zip(traj, traj[1:])
             if "capacity" in a and "capacity" in b

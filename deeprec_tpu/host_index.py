@@ -314,6 +314,19 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
     def index_view(self, state):
         return None  # no device index; health comes from host_health()
 
+    def device_view(self):
+        """A plain device-index `EmbeddingCollection` over the same
+        columns/config: what SERVING uses. A predictor rebuilds its table
+        from the checkpoint (the formats are interchangeable) and probes
+        it on-device — it neither needs nor should share the training
+        job's host resolver. `serving.Predictor` unwraps automatically."""
+        view = EmbeddingCollection.__new__(EmbeddingCollection)
+        view.__dict__.update({k: v for k, v in self.__dict__.items()
+                              if not k.startswith("_resolver")
+                              and k not in ("_last_cap_ovf", "_sat_steps",
+                                            "_max_nu")})
+        return view
+
     def host_health(self) -> Dict[str, int]:
         """Same schema as Trainer.table_health's device rows, so the CLI
         watchdog (auto-raise max_unique, growth alarms) works unchanged."""

@@ -60,7 +60,12 @@ class Predictor:
                  forward=None):
         self.model = model
         self.numeric_columns = list(numeric_columns)
-        self.collections = collections
+        # host-index training collections carry a host resolver the
+        # serving path must not share (or mutate): serve their plain
+        # device-index view — the checkpoint formats are interchangeable
+        self.collections = {n: (c.device_view()
+                                if hasattr(c, "device_view") else c)
+                            for n, c in collections.items()}
         self.ckpt_dir = ckpt_dir
         self.forward = forward
         self._noopt = sparse_sgd(0.0)

@@ -316,6 +316,45 @@ def test_host_save_time_eviction():
     assert (int(st.step) - evicted["versions"] < 2).all()
 
 
+def test_serving_from_host_index_checkpoint(tmp_path):
+    """Predictor serves a host-index training job's checkpoint (it
+    unwraps the collection to its device-index view and rebuilds the
+    table on-device); predictions equal the trainer's own eval logits."""
+    import functools
+
+    from deeprec_tpu.checkpoint.saver import CheckpointManager
+    from deeprec_tpu.feature_column import normalize_dense
+    from deeprec_tpu.serving.predictor import Predictor
+
+    gen = SyntheticCriteo(batch_size=128, seed=41)
+    batches = list(gen.take(5))
+    tr, coll = _build(True)
+    st = tr.init(jax.random.key(0), batches[0])
+    for b in batches:
+        st = tr.train_step(st, b)
+    CheckpointManager(str(tmp_path)).save(tr, st, evict=False)
+
+    pred = Predictor(tr.model, tr.numeric_columns, {"emb": coll},
+                     ckpt_dir=str(tmp_path))
+    ev_batch = list(SyntheticCriteo(batch_size=128, seed=77).take(1))[0]
+    served = np.asarray(pred.predict(ev_batch))
+
+    dense, cats, _ = tr.prepare_batch(ev_batch, train=False)
+    dense = normalize_dense(tr.numeric_columns, dense)
+    aux, rows = coll.readonly_rows(st.tables["emb"].ev, cats["emb"])
+    outs = {"emb": coll.embeddings_readonly(rows, aux)}
+    out = tr.forward(functools.partial(tr.model.apply, st.params),
+                     dense, outs, False)
+    logits = np.asarray(out[0] if isinstance(out, tuple) else out)
+    expect = 1.0 / (1.0 + np.exp(-logits))
+    if served.shape != expect.shape:  # predictor may emit probabilities
+        served = served.reshape(expect.shape)
+    # predictor emits sigmoid(logits) or logits; accept either encoding
+    ok_prob = np.allclose(served, expect, atol=1e-5)
+    ok_logit = np.allclose(served, logits, atol=1e-5)
+    assert ok_prob or ok_logit
+
+
 def test_host_unsupported_configs_raise():
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn("a"), 4)]
     with pytest.raises(NotImplementedError):

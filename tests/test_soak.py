@@ -46,3 +46,24 @@ def test_soak_smoke(tmp_path):
     assert any(r.get("event") == "failover_restore" for r in traj)
     # losses stayed finite through the whole run
     assert all(r["loss"] == r["loss"] for r in traj if "loss" in r)
+
+
+def test_soak_smoke_host_index(tmp_path):
+    """The same operational cycle on the host-index fast path (growth,
+    filter/evict, timed saves, failover restore — no host tier)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = tmp_path / "traj.json"
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/soak.py", "--smoke", "--host_index",
+         "--ckpt-dir", str(tmp_path / "ckpt"), "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["steps"] > 10
+    assert summary["growth_events"] >= 1, "capacity growth never fired"
+    assert summary["saves"]["full"] + summary["saves"]["incr"] >= 1
+    assert summary["failover_steps_lost"] == 0
+    traj = json.loads(out.read_text())["trajectory"]
+    assert any(r.get("event") == "failover_restore" for r in traj)
