@@ -307,7 +307,10 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         slot_state = permute_slot_state(slot_state, ident, new_cap,
                                         fills=opt.fills if opt else None)
         self.config = dataclasses.replace(self.config, capacity=new_cap)
-        self._resolver.reserve(min(new_cap, 1 << 22))
+        # deliberately NO resolver.reserve() here: prewarm_grow traces
+        # growth on a shallow CLONE from a background thread, and the
+        # clone SHARES the resolver — a reserve() would race live
+        # resolves. The maps grow organically (amortized O(1)).
         self._last_cap_ovf = self._resolver.stats()[1]
         return new_state, slot_state
 

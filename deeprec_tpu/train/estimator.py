@@ -107,7 +107,10 @@ class Estimator:
 
         for batch in input_fn():
             state = self._ensure_state(batch)
-            dense, cats, _ = self.trainer.prepare_batch(batch)
+            # read-only packing: predict must not mutate a host-index
+            # collection's key index (train=False routes through
+            # pack_ids_eval; plain collections are unaffected)
+            dense, cats, _ = self.trainer.prepare_batch(batch, train=False)
             tr = self.trainer
             if dense is not None:
                 dense = normalize_dense(tr.numeric_columns, dense)

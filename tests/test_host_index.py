@@ -355,6 +355,29 @@ def test_serving_from_host_index_checkpoint(tmp_path):
     assert ok_prob or ok_logit
 
 
+def test_estimator_with_host_index(tmp_path):
+    """Estimator train/evaluate/predict over a host-index collection
+    (evaluate/predict go through the read-only resolve)."""
+    from deeprec_tpu.train.estimator import Estimator
+
+    tr, coll = _build(True)
+    gen = SyntheticCriteo(batch_size=128, seed=51)
+    batches = list(gen.take(6))
+    est = Estimator(tr.model, tr.numeric_columns, tr.collections,
+                    tr.sparse_optimizers, tr.dense_optimizer,
+                    model_dir=str(tmp_path))
+    est.train(lambda: iter(batches), steps=6)
+    m = est.evaluate(lambda: iter(batches[:2]))
+    assert np.isfinite(m["loss"])
+    preds = list(est.predict(lambda: iter(batches[:1])))
+    assert np.isfinite(np.concatenate([np.ravel(p) for p in preds])).all()
+    # predict/evaluate did not mutate the index
+    size_after_train = coll._resolver.size
+    list(est.predict(lambda: iter(
+        SyntheticCriteo(batch_size=128, seed=991).take(1))))
+    assert coll._resolver.size == size_after_train
+
+
 def test_host_unsupported_configs_raise():
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn("a"), 4)]
     with pytest.raises(NotImplementedError):
