@@ -374,7 +374,10 @@ class HostIndexResolver:
         local: dict = {}
         n_unique = 0
         n_overflow = 0
+        int64_min = -(1 << 63)
         for i, k in enumerate(keys.tolist()):
+            if k == int64_min:  # the C++ map's sentinel remap, mirrored
+                k = int64_min + 1
             li = local.get(k)
             if li is None:
                 li = len(local)
