@@ -77,8 +77,10 @@ def main():
         from deeprec_tpu.utils.native import get_lib
         args.host_index = (not args.device_index and not args.sharded
                            and get_lib() is not None)
-    if args.device_index or args.sharded:
+    if args.device_index:
         args.host_index = False
+    # --sharded --host-index = the host-sharded engine (the controller
+    # resolves the whole exchange; parallel/host_sharded.py)
 
     import jax
     import optax
@@ -98,7 +100,10 @@ def main():
         meta_kw = dict(counter_filter=dr.CounterFilter(filter_freq=1),
                        evict=dr.GlobalStepEvict(steps_to_live=1 << 30))
     coll_cls = fc.EmbeddingCollection
-    if args.host_index:
+    if args.host_index and args.sharded:
+        from deeprec_tpu.parallel.host_sharded import HostShardedCollection
+        coll_cls = HostShardedCollection
+    elif args.host_index:
         from deeprec_tpu.host_index import HostIndexEmbeddingCollection
         coll_cls = HostIndexEmbeddingCollection
     coll = coll_cls(
@@ -129,7 +134,7 @@ def main():
     warm = 5
     batches = list(gen.take(args.steps + warm))
 
-    if args.host_index:
+    if args.host_index and not args.sharded:
         state = tr.init(jax.random.key(0), batches[0])  # resets the index
         import jax.numpy as jnp2
         pre = [(jnp2.asarray(fc.pack_dense(numeric, b)),
@@ -173,9 +178,12 @@ def main():
             dt = time.perf_counter() - t0
     else:
         # pre-pack on host: the measurement is the training path, not datagen
-        packed = [tr.prepare_batch(b) for b in batches]
-
-        state = tr.init(jax.random.key(0), batches[0])
+        if args.host_index:  # host-SHARDED: init resets the resolvers, so
+            state = tr.init(jax.random.key(0), batches[0])  # init FIRST
+            packed = [tr.prepare_batch(b) for b in batches]
+        else:
+            packed = [tr.prepare_batch(b) for b in batches]
+            state = tr.init(jax.random.key(0), batches[0])
         for p in packed[:warm]:
             state = tr._jit_train(state, *p)
         # synchronize via a D2H materialization: on tunneled-TPU setups
@@ -195,6 +203,8 @@ def main():
     name = "dlrm_criteo_examples_per_sec_per_chip"
     if args.sharded:
         name = "dlrm_criteo_sharded_examples_per_sec_per_chip"
+        if args.host_index:
+            name += "_host_index"
     elif not args.host_index:
         name += "_device_index"
     if args.host_index and args.inline_resolve:

@@ -424,6 +424,23 @@ class EmbeddingCollection:
         """Abstract (shape-only) slot pytree for spec construction."""
         return jax.eval_shape(lambda: self.init_slot(opt, self.init()))
 
+    def sharded_cats_spec(self, axis):
+        """PartitionSpec pytree (or prefix) of this collection's packed
+        cats input to the sharded step. Base: feature-major [W, B] key
+        planes, batch axis sharded."""
+        from jax.sharding import PartitionSpec as P
+        return K.Keys(P(None, axis), P(None, axis))
+
+    def sharded_pack(self, batch, S, bucket_cap, mesh, axis, train=True):
+        """Host-side packing of one raw (process-local) batch into the
+        sharded step's cats input. Base: pack + globalize the key planes
+        (host-sharded collections resolve the whole exchange here)."""
+        from .parallel.multihost import globalize
+        from jax.sharding import PartitionSpec as P
+        hi, lo = K.split_np(self.pack_ids_np(batch))
+        return K.Keys(globalize(mesh, P(None, axis), hi),
+                      globalize(mesh, P(None, axis), lo))
+
     def _ev_index_spec(self, axis):
         from .sparse import hashtable as ht_mod
         from jax.sharding import PartitionSpec as P

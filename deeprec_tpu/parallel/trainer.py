@@ -72,6 +72,12 @@ class ShardedTrainer:
         self.bucket_slack = bucket_slack
         self.aux_loss_weight = aux_loss_weight
         self.microbatches = microbatches
+        if microbatches > 1 and any(
+                hasattr(c, "sharded_needs_growth") for c in collections.values()):
+            raise NotImplementedError(
+                "host-sharded collections pack one resolved wire per step; "
+                "microbatch slicing of the wire is not supported — use the "
+                "device-index EmbeddingCollection with microbatches>1")
 
         self.rejit()
 
@@ -81,8 +87,8 @@ class ShardedTrainer:
         state_spec = self._state_spec()
         batch_specs = (
             P(axis, None),                                # dense [B, D]
-            {n: K.Keys(P(None, axis), P(None, axis))      # cat ids [W, B]
-             for n in self.collections},
+            {n: coll.sharded_cats_spec(axis)              # cat ids / wire
+             for n, coll in self.collections.items()},
             P(axis),                                      # labels [B]
         )
         self._jit_train = jax.jit(
@@ -169,10 +175,12 @@ class ShardedTrainer:
         raise KeyError(coll)
 
     # -- batch plumbing -------------------------------------------------------
-    def prepare_batch(self, batch):
+    def prepare_batch(self, batch, train: bool = True):
         """Pack a (process-local) raw batch. On multi-host runs each
         process passes its own batch shard; the shards are assembled into
         global arrays with the step's input sharding (multihost.globalize).
+        Collections declare their own packing (sharded_pack) — host-sharded
+        collections resolve the whole exchange here, on the host.
         """
         from ..feature_column import pack_dense
         from .multihost import globalize
@@ -184,9 +192,19 @@ class ShardedTrainer:
                               pack_dense(self.numeric_columns, batch))
         cats = {}
         for name, coll in self.collections.items():
-            hi, lo = K.split_np(coll.pack_ids_np(batch))
-            cats[name] = K.Keys(globalize(self.mesh, P(None, axis), hi),
-                                globalize(self.mesh, P(None, axis), lo))
+            w = coll.total_width
+            b_local = len(np.asarray(batch["label"]).reshape(-1)) \
+                if "label" in batch else None
+            if b_local is None:  # infer from any categorical column
+                first = coll.columns[0].categorical.name
+                b_local = np.asarray(batch[first]).shape[0]
+            # per-DEVICE flat width (matches _sparse_forward's in-shard
+            # computation: ids2d is [W, B/S] inside shard_map). Only
+            # host-sharded collections consume this; single-process there,
+            # so b_local IS the global batch.
+            cap = self._bucket_cap(coll, w * max(1, b_local // self.S))
+            cats[name] = coll.sharded_pack(batch, self.S, cap, self.mesh,
+                                           axis, train=train)
         labels = (globalize(self.mesh, P(axis),
                             np.asarray(batch["label"], np.float32))
                   if "label" in batch else None)
@@ -350,7 +368,7 @@ class ShardedTrainer:
         return self._jit_train(state, dense, cats, labels)
 
     def eval_step(self, state: TrainState, mstate, batch):
-        dense, cats, labels = self.prepare_batch(batch)
+        dense, cats, labels = self.prepare_batch(batch, train=False)
         return self._jit_eval(state, mstate, dense, cats, labels)
 
     def reset_metrics(self, state: TrainState) -> TrainState:
@@ -376,13 +394,19 @@ class ShardedTrainer:
             b = tables[name]
             idx_view = coll.index_view(b.ev)
             if idx_view is None:
-                continue
-            from .multihost import np_global
-            sizes = np_global(idx_view.index.size).reshape(-1)
-            over = int(np_global(idx_view.index.overflow).sum())
-            cfg = coll.config
-            if sizes.max() / cfg.capacity < threshold and over == 0:
-                continue
+                # host-sharded collections: growth pressure comes from the
+                # per-shard HOST resolvers (dense slots, grow near full)
+                need = getattr(coll, "sharded_needs_growth", None)
+                if need is None or not need():
+                    continue
+                cfg = coll.config
+            else:
+                from .multihost import np_global
+                sizes = np_global(idx_view.index.size).reshape(-1)
+                over = int(np_global(idx_view.index.overflow).sum())
+                cfg = coll.config
+                if sizes.max() / cfg.capacity < threshold and over == 0:
+                    continue
             new_cap = cfg.capacity * 2
             fills = self.sparse_optimizers[name].fills
             spec = self._table_spec(coll, self._slot_examples[name])
@@ -395,6 +419,8 @@ class ShardedTrainer:
                 check_vma=False))
             tables[name] = grow_fn(b)
             coll.config = _dc.replace(cfg, capacity=new_cap)
+            if hasattr(coll, "note_grown"):
+                coll.note_grown()  # clear host-side overflow trigger
             changed = True
         if not changed:
             return state
