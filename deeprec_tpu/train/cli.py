@@ -106,9 +106,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="host-index fast path: the key->slot index lives "
                         "in the C++ HostIndexResolver, pipelined with the "
                         "device step (no on-device dedup/probe; ~1.5x "
-                        "single-chip throughput, bit-exact). Falls back "
-                        "to the device engine for --mesh / tiered / CBF "
-                        "configs, which it does not support")
+                        "throughput, bit-exact). With --mesh this is the "
+                        "host-SHARDED engine (single-controller meshes: "
+                        "the host resolves the whole exchange; no id "
+                        "all_to_all). Falls back to the device engine "
+                        "for tiered / multi-process / microbatch configs")
     p.add_argument("--max_unique_ratio", type=float, default=0.25,
                    help="static dedup-width cap as a fraction of the flat "
                         "id width (0 = exact dedup; see ops/unique.py)")
@@ -162,14 +164,20 @@ def collection_cls(args):
     if not getattr(args, "host_index", False):
         return fc.EmbeddingCollection
     reasons = []
-    if getattr(args, "mesh", 0):
-        reasons.append("--mesh")
     if getattr(args, "ev_storage", "hbm") != "hbm":
         reasons.append(f"--ev_storage {args.ev_storage}")
+    if getattr(args, "mesh", 0) and getattr(args, "micro_batch", 1) > 1:
+        reasons.append("--mesh with --micro_batch")
+    import jax
+    if getattr(args, "mesh", 0) and jax.process_count() > 1:
+        reasons.append("--mesh across processes")
     if reasons:
         print(f"NOTE: --host_index unsupported with {', '.join(reasons)}; "
               "using the device-index engine")
         return fc.EmbeddingCollection
+    if getattr(args, "mesh", 0):
+        from ..parallel.host_sharded import HostShardedCollection
+        return HostShardedCollection
     from ..host_index import HostIndexEmbeddingCollection
     return HostIndexEmbeddingCollection
 
@@ -339,7 +347,40 @@ def run(spec: ModelSpec, args) -> dict:
     host_colls = {n: c for n, c in tr.collections.items()
                   if hasattr(c, "pack_ids_eval")}  # host-index tables
     staged_put = None
-    if host_colls and not tiered and not args.mesh:
+    if host_colls and not tiered and args.mesh:
+        # mesh variant of the split below: workers pack numpy; the main
+        # loop runs each host-SHARDED collection's exchange resolve
+        # (sharded_pack) in step order
+        from ..feature_column import pack_dense as _pd
+        from ..parallel.multihost import globalize as _gl
+        from jax.sharding import PartitionSpec as _P
+
+        def prepare(b):
+            dense = (_gl(tr.mesh, _P(tr.axis, None),
+                         _pd(tr.numeric_columns, b))
+                     if tr.numeric_columns else None)
+            labels = (_gl(tr.mesh, _P(tr.axis),
+                          np.asarray(b["label"], np.float32))
+                      if "label" in b else None)
+            cats = {n: c.sharded_pack(b, tr.S, 0, tr.mesh, tr.axis)
+                    for n, c in tr.collections.items()
+                    if n not in host_colls}
+            host_np = {n: c.pack_ids_np(b) for n, c in host_colls.items()}
+            return (dense, cats, labels), host_np
+
+        def staged_put(item):
+            return item  # already globalized; host ids stay host-side
+
+        def finish(p):
+            (dense, cats, labels), host_np = p
+            cats = dict(cats)
+            for n, v in host_np.items():
+                c = host_colls[n]
+                cap = tr._bucket_cap(
+                    c, c.total_width * max(1, v.shape[1] // tr.S))
+                cats[n] = c.sharded_pack(v, tr.S, cap, tr.mesh, tr.axis)
+            return dense, cats, labels
+    elif host_colls and not tiered and not args.mesh:
         # the host-index RESOLVE mutates the key index and must run
         # single-threaded in step order — prefetch workers do only the
         # pure-numpy packing (the packed ids stay HOST-side: the custom

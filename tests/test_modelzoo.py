@@ -50,6 +50,23 @@ def test_model_trains_host_index(name):
     assert 0.0 < out["train_loss"] < 10.0
 
 
+@pytest.mark.parametrize("name", ["WDL", "DLRM"])
+def test_model_trains_host_sharded(name):
+    """--host_index --mesh: the host-sharded engine through the CLI
+    (WDL = two host-sharded collections on one mesh)."""
+    mod = importlib.import_module(f"modelzoo.{name}.train")
+    args = cli.base_parser("t").parse_args([
+        "--steps", "4", "--batch_size", "32", "--eval_steps", "1",
+        "--capacity", "1024", "--emb_dim", "4", "--log_steps", "100",
+        "--host_index", "--mesh", "4",
+        "--synthetic", "--synthetic_items", "500", "--synthetic_users", "50",
+        "--prefetch_depth", "2", "--prefetch_workers", "2",
+    ])
+    out = cli.run(mod.build(args), args)
+    assert out["steps"] == 4
+    assert 0.0 < out["train_loss"] < 10.0
+
+
 @pytest.mark.parametrize("name", ["DLRM", "DIN", "DIEN"])
 def test_model_trains_on_mesh(name):
     """--mesh runs every collection type through the sharded exchange:
