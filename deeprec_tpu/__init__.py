@@ -10,6 +10,7 @@ from .config import (CBFFilter, CounterFilter, EmbeddingVariableConfig,
                      StorageOption, StorageType)
 from .sparse import embedding_var, hashtable, keys
 from .host_index import HostIndexEmbeddingCollection
+from .parallel.host_sharded import HostShardedCollection
 from .api import (categorical_column_with_adaptive_embedding,
                   categorical_column_with_embedding,
                   categorical_column_with_hash_bucket, embedding_column,
