@@ -180,6 +180,69 @@ class SyntheticCriteo:
         # restrict this to the features the model actually consumes so the
         # achievable AUC is high and plumbing bugs are unmissable.
         self.active_features = set(active_features) if active_features is not None else None
+        self._cdfs: list = [None] * len(self.vocab_sizes)
+
+    _ZIPF_HEAD = 2048  # atoms drawn exactly; deeper ids use the analytic tail
+
+    def _zipf_tables(self, fi: int):
+        """Sampler tables for the TRUNCATED Zipf the stream draws:
+        ``min(zipf(a) - 1, v - 1)`` puts all tail mass (k >= v) on the
+        last id. Rejection-sampled ``rng.zipf`` costs ~0.6 ms per feature
+        per batch on one core (the soak's dominant datagen cost). Here the
+        first ``_ZIPF_HEAD`` atoms (>= 80% of the mass at a=1.2) come from
+        an exact L1-resident inverse-CDF table; deeper ids use the
+        continuous-Pareto analytic inverse with midpoint correction
+        (per-atom pmf error O(a/k) < 0.03% at k > 2048 — ids whose
+        individual draw probability is ~1e-6). ~20x faster than
+        ``rng.zipf`` at an indistinguishable distribution."""
+        if self._cdfs[fi] is None:
+            a = self.zipf_a
+            v = self.vocab_sizes[fi]
+            H = min(self._ZIPF_HEAD, v - 1)
+            k = np.arange(1, H + 1, dtype=np.float64)
+            w = k ** -a
+            # tail via the midpoint rule: sum_{k>H} k^-a ~ int_{H+.5} x^-a
+            # (relative error O(a/H^2)); using the same form for the mass
+            # and the inverse keeps head/tail consistent
+            lo_p = (H + 0.5) ** (1 - a)
+            total = w.sum() + lo_p / (a - 1)
+            head_cdf = np.cumsum(w) / total
+            # guide table: per-cell lower bound of searchsorted(cdf, u,
+            # 'right'), making the head draw a direct lookup + a few
+            # vectorized advances instead of a 4096-wide binary search
+            # (the remaining datagen hot spot on a 1-core host)
+            G = 16384
+            guide = np.searchsorted(head_cdf, np.arange(G) / G,
+                                    side="right").astype(np.int32)
+            bound = np.concatenate([guide[1:], [H]])
+            span = int((bound - guide).max()) + 1
+            self._cdfs[fi] = (head_cdf, lo_p, guide, span)
+        return self._cdfs[fi]
+
+    def _zipf_draw(self, fi: int, u: np.ndarray) -> np.ndarray:
+        head_cdf, lo_p, guide, span = self._zipf_tables(fi)
+        v = self.vocab_sizes[fi]
+        H = head_cdf.shape[0]
+        G = guide.shape[0]
+        ids = guide[(u * G).astype(np.int32)].astype(np.int64)
+        for _ in range(span):
+            adv = (ids < H) & (u >= head_cdf[np.minimum(ids, H - 1)])
+            if not adv.any():
+                break
+            ids += adv
+        pm = head_cdf[-1]
+        tail = u >= pm
+        if tail.any():
+            ut = (u[tail] - pm) / max(1.0 - pm, 1e-300)
+            # UNNORMALIZED Pareto-tail inverse on [H+0.5, inf): the mass
+            # beyond v lands on id v-1 via the same min() clip the
+            # rejection sampler applied (7.8% of draws at v=200k, a=1.2).
+            # Clamp BEFORE the int cast: ut ~ 1 gives x = inf.
+            x = (lo_p * (1.0 - ut)) ** (1.0 / (1.0 - self.zipf_a))
+            x = np.minimum(x, float(v))
+            ids[tail] = np.minimum(np.floor(x + 0.5).astype(np.int64) - 1,
+                                   v - 1)
+        return ids
 
     def _hidden_weight(self, ids: np.ndarray, fi: int) -> np.ndarray:
         h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -197,14 +260,15 @@ class SyntheticCriteo:
         B = self.batch_size
         out = {}
         logit = np.zeros(B, np.float64)
+        nd = len(DENSE_NAMES)
+        dense = np.exp(self.rng.standard_normal((nd, B)))
+        sign = np.where(np.arange(nd) % 2 == 0, 1.0, -1.0)[:, None]
+        logit += (0.05 * sign * (np.log1p(dense) - 0.5)).sum(axis=0)
         for i, nm in enumerate(DENSE_NAMES):
-            x = self.rng.lognormal(0.0, 1.0, size=B).astype(np.float32)
-            out[nm] = x
-            logit += 0.05 * (np.log1p(x) - 0.5) * ((-1) ** i)
+            out[nm] = dense[i].astype(np.float32)
+        u = self.rng.random((len(CAT_NAMES), B))
         for fi, nm in enumerate(CAT_NAMES):
-            v = self.vocab_sizes[fi]
-            r = self.rng.zipf(self.zipf_a, size=B)
-            ids = np.minimum(r - 1, v - 1).astype(np.int64)
+            ids = self._zipf_draw(fi, u[fi])
             # spread ids across the 64-bit space per feature
             spread = ids * np.int64(2654435761) + np.int64(fi) * np.int64(1 << 33)
             out[nm] = spread

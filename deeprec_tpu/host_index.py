@@ -75,38 +75,73 @@ class ResolvedIds(NamedTuple):
 
 
 class ResolvedWire:
-    """The transferred form of :class:`ResolvedIds`: ONE int32 buffer.
+    """The transferred form of :class:`ResolvedIds`: ONE uint8 buffer.
 
-    A tunneled (or merely busy) host pays per-TRANSFER latency, and a
-    resolve is 6 logical arrays; shipping them as one contiguous buffer
-    makes the per-step host->device cost a single enqueue. Layout
-    (U = max_unique + 1, n = flat batch width):
-    ``[hi(U) | lo(U) | uslots(U) | packed_counts(U) | inverse(n) |
-    n_unique, n_overflow, readonly, 0]``; ``packed_counts`` carries the
-    created/missing flag in bit 30. ``u`` is pytree-static (it sets the
-    decode slicing), the buffer is the single traced leaf.
+    A tunneled (or merely busy) host pays per-TRANSFER cost — both the
+    enqueue round and the CPU that serializes the bytes — and a resolve
+    is 6 logical arrays; shipping them as one C++-packed byte buffer
+    makes the per-step host->device cost a single enqueue of the minimal
+    byte count. Layout (written by native hidx_resolve_wire; U =
+    max_unique + 1, n = flat batch width; see utils.native.wire_layout):
+
+    ``[uslots|created<<30 : i32 U][key hi : i32 U][key lo : i32 U]
+    [counts : i32 U, only when the config reads freq/version metadata]
+    [inverse : i16 n, 4B-padded (i32 when U > 32767)]
+    [tail : i32 4 = n_unique, n_overflow, readonly, 0x5EC2]``
+
+    The int16 inverse plane carries the bulk of the wire at half width,
+    and light-layout tables skip the counts plane entirely — at Criteo
+    shapes the wire drops from 0.72 MB (v1) to 0.44 MB. The layout
+    fields are pytree-static (they set the decode slicing); the buffer
+    is the single traced leaf. Decoding is bitcast + slice on device
+    (VPU-trivial, fused by XLA into the consuming gathers).
     """
 
-    __slots__ = ("buf", "u")
+    __slots__ = ("buf", "u", "n", "with_counts", "inv16")
 
-    def __init__(self, buf, u: int):
-        self.buf = buf  # int32 [4*U + n + 4]
+    def __init__(self, buf, u: int, n: int, with_counts: bool, inv16: bool):
+        self.buf = buf  # uint8 [wire_layout(...)[0]]
         self.u = int(u)
+        self.n = int(n)
+        self.with_counts = bool(with_counts)
+        self.inv16 = bool(inv16)
 
     def decode(self) -> ResolvedIds:
-        U, buf = self.u, self.buf
-        n = buf.shape[0] - 4 * U - 4
-        hi, lo = buf[:U], buf[U:2 * U]
-        uslots = buf[2 * U:3 * U]
-        pc = buf[3 * U:4 * U]
-        inverse = buf[4 * U:4 * U + n]
-        tail = buf[4 * U + n:]
+        from .utils.native import wire_layout
+        U, n, buf = self.u, self.n, self.buf
+        _, off = wire_layout(U, n, self.with_counts, self.inv16)
+
+        def i32(byte_off, count):
+            sl = jax.lax.dynamic_slice_in_dim(buf, byte_off, count * 4)
+            return jax.lax.bitcast_convert_type(sl.reshape(count, 4),
+                                                jnp.int32)
+
+        sf = i32(off["slots"], U)
+        hi = i32(off["hi"], U)
+        lo = i32(off["lo"], U)
+        ukeys = K.Keys(hi, lo)
+        uslots = sf & ((1 << 30) - 1)
+        created = (sf >> 30) & 1 == 1
+        if self.with_counts:
+            counts = i32(off["counts"], U)
+        else:
+            # no consumer reads true multiplicities under this layout;
+            # expose lane-occupancy (1 per materialized key lane) so any
+            # (counts > 0) liveness test stays correct
+            counts = (~K.is_empty(ukeys)).astype(jnp.int32)
+        if self.inv16:
+            sl = jax.lax.dynamic_slice_in_dim(buf, off["inverse"], 2 * n)
+            inverse = jax.lax.bitcast_convert_type(
+                sl.reshape(n, 2), jnp.int16).astype(jnp.int32)
+        else:
+            inverse = i32(off["inverse"], n)
+        tail = i32(off["tail"], 4)
         return ResolvedIds(
-            ukeys=K.Keys(hi, lo),
+            ukeys=ukeys,
             uslots=uslots,
             inverse=inverse,
-            created=(pc >> 30) & 1 == 1,
-            counts=pc & ((1 << 30) - 1),
+            created=created,
+            counts=counts,
             n_unique=tail[0],
             n_overflow=tail[1],
             readonly=tail[2] == 1,
@@ -115,8 +150,8 @@ class ResolvedWire:
 
 jax.tree_util.register_pytree_node(
     ResolvedWire,
-    lambda w: ((w.buf,), w.u),
-    lambda u, children: ResolvedWire(children[0], u),
+    lambda w: ((w.buf,), (w.u, w.n, w.with_counts, w.inv16)),
+    lambda meta, children: ResolvedWire(children[0], *meta),
 )
 
 
@@ -165,28 +200,27 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         )
 
     # -- host hot path ---------------------------------------------------
+    def _wire_params(self, n: int):
+        cfg = self.config
+        u_out = cfg.max_unique + 1 if cfg.max_unique else n + 1
+        with_counts = (cfg.freq_tracked or cfg.version_tracked
+                       or cfg.counter_filter is not None)
+        return u_out, with_counts, u_out <= 32767
+
     def _resolve(self, batch, readonly: bool) -> ResolvedWire:
         packed = batch if isinstance(batch, np.ndarray) \
             else self.pack_ids_np(batch)
         cap = self.config.capacity
-        u_out = self.config.max_unique + 1 if self.config.max_unique \
-            else packed.size + 1
-        ukeys, uslots, inverse, created, counts, nu, nov = \
-            self._resolver.resolve(packed, u_out, null_slot=cap,
-                                   row_capacity=cap, readonly=readonly)
+        n = packed.size
+        u_out, with_counts, inv16 = self._wire_params(n)
+        buf, nu, nov = self._resolver.resolve_wire(
+            packed, u_out, null_slot=cap, row_capacity=cap,
+            readonly=readonly, with_counts=with_counts, inv16=inv16)
         if not readonly:
             self._sat_steps += int(nov > 0)
             self._max_nu = max(self._max_nu, int(nu) + int(nov))
-        n = inverse.shape[0]
-        buf = np.empty((4 * u_out + n + 4,), np.int32)
-        hi, lo = K.split_np(ukeys)
-        buf[:u_out] = hi
-        buf[u_out:2 * u_out] = lo
-        buf[2 * u_out:3 * u_out] = uslots
-        buf[3 * u_out:4 * u_out] = counts | (created.astype(np.int32) << 30)
-        buf[4 * u_out:4 * u_out + n] = inverse
-        buf[4 * u_out + n:] = (nu, nov, int(readonly), 0)
-        return ResolvedWire(buf=jnp.asarray(buf), u=u_out)
+        return ResolvedWire(buf=jnp.asarray(buf), u=u_out, n=n,
+                            with_counts=with_counts, inv16=inv16)
 
     def pack_ids(self, batch) -> ResolvedIds:
         """Train-path host resolve (find-or-insert; mutates the index —

@@ -14,6 +14,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class MetricState(NamedTuple):
@@ -65,11 +66,22 @@ def auc(state: MetricState) -> jax.Array:
     return jnp.sum((fpr[1:] - fpr[:-1]) * 0.5 * (tpr[1:] + tpr[:-1]))
 
 
+@jax.jit
+def _summary_vec(state: MetricState) -> jax.Array:
+    """[auc, correct, loss_sum, count] as ONE array: a summary is then a
+    single D2H read. Separate float() reads each pay a full host<->device
+    round trip (~25 ms on a tunneled chip; 4 reads per fence was a
+    measurable per-step tax in the production loop)."""
+    return jnp.stack([auc(state), state.correct, state.loss_sum,
+                      state.count])
+
+
 def summarize(state: MetricState) -> dict:
-    c = max(float(state.count), 1e-12)
+    a, correct, loss_sum, count = np.asarray(_summary_vec(state))
+    c = max(float(count), 1e-12)
     return {
-        "auc": float(auc(state)),
-        "accuracy": float(state.correct) / c,
-        "loss": float(state.loss_sum) / c,
-        "examples": int(state.count),
+        "auc": float(a),
+        "accuracy": float(correct) / c,
+        "loss": float(loss_sum) / c,
+        "examples": int(count),
     }

@@ -94,6 +94,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hidx_compact.restype = _i64
         lib.hidx_compact.argtypes = [ctypes.c_void_p, _p_u8, _p_i32]
         lib.hidx_reserve.argtypes = [ctypes.c_void_p, _i64]
+        lib.hidx_resolve_wire.restype = _i64
+        lib.hidx_resolve_wire.argtypes = [ctypes.c_void_p, _p_i64, _i64,
+                                          _i64, _i64, _i64, _i64, _i64,
+                                          _i64, _p_u8]
+        lib.hidx_track_touched.argtypes = [ctypes.c_void_p, _i64]
+        lib.hidx_touched_export.restype = _i64
+        lib.hidx_touched_export.argtypes = [ctypes.c_void_p, _p_i32, _i64,
+                                            _i64]
+        lib.hidx_touched_count.restype = _i64
+        lib.hidx_touched_count.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -260,6 +270,25 @@ class TierStack:
         return np.concatenate([k1, k2]), np.concatenate([r1, r2])
 
 
+def wire_layout(u_out: int, n: int, with_counts: bool, inv16: bool):
+    """Byte offsets of the v2 resolve wire (matches hidx_resolve_wire's
+    layout exactly): returns (total_bytes, offsets) with offsets keyed
+    slots/hi/lo/counts/inverse/tail. ``counts`` is None when absent."""
+    o_hi = 4 * u_out
+    o_lo = 8 * u_out
+    o = 12 * u_out
+    o_counts = None
+    if with_counts:
+        o_counts = o
+        o += 4 * u_out
+    o_inv = o
+    o += ((2 * n + 3) & ~3) if inv16 else 4 * n
+    o_tail = o
+    return o_tail + 16, {"slots": 0, "hi": o_hi, "lo": o_lo,
+                         "counts": o_counts, "inverse": o_inv,
+                         "tail": o_tail}
+
+
 class HostIndexResolver:
     """Host-resident key -> dense-slot index: the resolving half of the
     host-index embedding fast path (the role the reference's CPU hash maps
@@ -291,6 +320,7 @@ class HostIndexResolver:
             self._fb_keys = []     # keys by slot
             self._fb_cap_ovf = 0
             self._fb_uniq_ovf = 0
+        self._fb_touch = None      # fallback touched-slot set (None = off)
 
     def __del__(self):
         if getattr(self, "_h", None) is not None and self._lib is not None:
@@ -306,6 +336,8 @@ class HostIndexResolver:
             self._fb_keys = []
             self._fb_cap_ovf = 0
             self._fb_uniq_ovf = 0
+            if self._fb_touch is not None:
+                self._fb_touch = set()
 
     def reserve(self, n_rows: int) -> None:
         """Pre-size for ~n_rows keys (optional; kills rehash churn)."""
@@ -405,12 +437,88 @@ class HostIndexResolver:
                             s = None
                     if s is not None:
                         uslots[li] = s
+                        if not readonly and self._fb_touch is not None:
+                            self._fb_touch.add(s)
             gi = min(li, ovf)
             inverse[i] = gi
             if k != -1 and gi < ovf:
                 counts[gi] += 1
         self._fb_uniq_ovf += n_overflow
         return ukeys, uslots, inverse, created, counts, n_unique, n_overflow
+
+    def resolve_wire(self, keys: np.ndarray, u_out: int, null_slot: int,
+                     row_capacity: int, readonly: bool, with_counts: bool,
+                     inv16: bool) -> Tuple[np.ndarray, int, int]:
+        """Resolve directly into the single-transfer wire byte buffer
+        (see :func:`wire_layout`). Returns (buf uint8, n_unique,
+        n_overflow). Native writes every plane in C++; the fallback packs
+        the plain :meth:`resolve` outputs into the identical bytes."""
+        keys = np.ascontiguousarray(keys, np.int64).reshape(-1)
+        n = keys.shape[0]
+        total, off = wire_layout(u_out, n, with_counts, inv16)
+        buf = np.empty((total,), np.uint8)
+        if self._h is not None:
+            rc = int(self._lib.hidx_resolve_wire(
+                self._h, keys, n, u_out, null_slot, row_capacity,
+                1 if readonly else 0, 1 if with_counts else 0,
+                1 if inv16 else 0, buf))
+            if rc == -2:
+                raise RuntimeError(
+                    "concurrent resolve detected: host-index resolves "
+                    "must run single-threaded in step order")
+            if rc < 0:
+                raise ValueError("hidx_resolve_wire failed (check "
+                                 "capacity < 2^30 and u_out <= 32767 "
+                                 "for the int16 inverse)")
+            return buf, rc >> 32, rc & 0xFFFFFFFF
+        ukeys, uslots, inverse, created, counts, nu, nov = self.resolve(
+            keys, u_out, null_slot, row_capacity, readonly)
+        p32 = buf.view(np.int32)
+        p32[:u_out] = uslots | (created.astype(np.int32) << 30)
+        p32[u_out:2 * u_out] = (ukeys >> np.int64(32)).astype(np.int32)
+        p32[2 * u_out:3 * u_out] = (
+            ukeys & np.int64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+        if with_counts:
+            c0 = off["counts"] // 4
+            p32[c0:c0 + u_out] = counts
+        if inv16:
+            buf[off["inverse"]:off["inverse"] + 2 * n].view(np.int16)[:] = \
+                inverse.astype(np.int16)
+        else:
+            i0 = off["inverse"] // 4
+            p32[i0:i0 + n] = inverse
+        t0 = off["tail"] // 4
+        p32[t0:t0 + 4] = (nu, nov, 1 if readonly else 0, 0x5EC2)
+        return buf, nu, nov
+
+    # -- touched-slot recording (incremental checkpoints) ----------------
+    def track_touched(self, enable: bool = True) -> None:
+        """Record every slot used by train resolves (the reference's
+        RecordSparseIndices recorder, incr_save_restore_ops.h:329 —
+        relocated into the resolver where each touched slot is already
+        visited once per batch)."""
+        if self._h is not None:
+            self._lib.hidx_track_touched(self._h, 1 if enable else 0)
+        else:
+            self._fb_touch = set() if enable else None
+
+    def touched_count(self) -> int:
+        if self._h is not None:
+            return int(self._lib.hidx_touched_count(self._h))
+        return len(self._fb_touch or ())
+
+    def touched_slots(self, clear: bool = True) -> np.ndarray:
+        """Slots touched since the last clear, ascending int32."""
+        if self._h is not None:
+            n = self.touched_count()
+            out = np.empty((n,), np.int32)
+            self._lib.hidx_touched_export(self._h, out, n,
+                                          1 if clear else 0)
+            return out
+        out = np.asarray(sorted(self._fb_touch or ()), np.int32)
+        if clear and self._fb_touch is not None:
+            self._fb_touch = set()
+        return out
 
     # -- checkpoint / eviction ------------------------------------------
     def export_keys(self) -> np.ndarray:
@@ -455,7 +563,11 @@ class HostIndexResolver:
                 j += 1
             else:
                 old_to_new[i] = -1
+        old_touch = self._fb_touch
         self.load_keys(np.asarray(kept, np.int64))
+        if old_touch is not None:  # carry recording through the renumber
+            self._fb_touch = {int(old_to_new[s]) for s in old_touch
+                              if 0 <= s < old_n and old_to_new[s] >= 0}
         return old_to_new
 
 

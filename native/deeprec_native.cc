@@ -551,6 +551,24 @@ struct HostIndexResolver {
   std::vector<std::vector<int32_t>> scr_count;
   std::vector<std::vector<uint32_t>> scr_j;     // map index per unique
   std::vector<int64_t> goff;
+  // wire-mode scratch (hidx_resolve_wire packs from these)
+  std::vector<int64_t> w_ukeys;
+  std::vector<int32_t> w_uslots;
+  std::vector<uint8_t> w_created;
+  std::vector<int32_t> w_counts;
+  std::vector<int32_t> w_inv;
+  // touched-slot recording for incremental checkpoints (the reference's
+  // RecordSparseIndices/IndicesIncrRecorder, incr_save_restore_ops.h:329,
+  // relocated into the resolver: every train resolve already visits each
+  // touched slot exactly once, so recording is one bit-OR per unique).
+  bool track_touched = false;
+  std::vector<uint64_t> touched;  // bitmap over slots
+
+  void mark_touched(int64_t slot) {
+    const size_t w = (size_t)(slot >> 6);
+    if (w >= touched.size()) touched.resize(w + 64, 0);
+    touched[w] |= 1ull << (slot & 63);
+  }
 
   explicit HostIndexResolver(int64_t g) : n_groups(g) {
     groups.resize((size_t)g);
@@ -575,6 +593,7 @@ struct HostIndexResolver {
     cur_epoch = 0;
     cap_overflow = 0;
     uniq_overflow = 0;
+    touched.clear();
   }
 };
 
@@ -881,7 +900,10 @@ int64_t hidx_resolve(HostIndexResolver* r, const int64_t* keys, int64_t n,
           ++r->cap_overflow;
         }
       }
-      if (e.slot >= 0) uslots[gi] = e.slot;
+      if (e.slot >= 0) {
+        uslots[gi] = e.slot;
+        if (r->track_touched) r->mark_touched(e.slot);
+      }
     }
   }
   r->uniq_overflow += n_overflow;
@@ -894,6 +916,98 @@ int64_t hidx_resolve(HostIndexResolver* r, const int64_t* keys, int64_t n,
     }
   });
   return (n_unique << 32) | (n_overflow & 0xFFFFFFFFll);
+}
+
+// Resolve directly into the single H2D "wire" byte buffer the jitted step
+// decodes (deeprec_tpu/host_index.py ResolvedWire). Layout (little-endian,
+// U = u_out, n = batch width):
+//   [slots|created<<30 : i32 U][key hi : i32 U][key lo : i32 U]
+//   [counts : i32 U, only if with_counts]
+//   [inverse : i16 n (padded to 4B) if inv16 else i32 n]
+//   [tail : i32 4 = n_unique, n_overflow, mode, 0x5EC2]
+// One buffer means ONE host->device enqueue per step, and the int16
+// inverse plane (valid while u_out <= 32767) carries the bulk of the
+// wire at half width — both matter on hosts where transfer serialization
+// shares cores with the resolver. Returns hidx_resolve's rc.
+int64_t hidx_resolve_wire(HostIndexResolver* r, const int64_t* keys,
+                          int64_t n, int64_t u_out, int64_t null_slot,
+                          int64_t row_capacity, int64_t mode,
+                          int64_t with_counts, int64_t inv16,
+                          uint8_t* wire) {
+  if (u_out < 2 || null_slot >= (1ll << 30) || (inv16 && u_out > 32767))
+    return -1;
+  if ((int64_t)r->w_ukeys.size() < u_out) {
+    r->w_ukeys.resize((size_t)u_out);
+    r->w_uslots.resize((size_t)u_out);
+    r->w_created.resize((size_t)u_out);
+    r->w_counts.resize((size_t)u_out);
+  }
+  if ((int64_t)r->w_inv.size() < n) r->w_inv.resize((size_t)n);
+  int64_t rc = hidx_resolve(r, keys, n, u_out, null_slot, row_capacity,
+                            mode, r->w_inv.data(), r->w_ukeys.data(),
+                            r->w_uslots.data(), r->w_created.data(),
+                            r->w_counts.data());
+  if (rc < 0) return rc;
+  int32_t* p32 = (int32_t*)wire;
+  for (int64_t i = 0; i < u_out; ++i)
+    p32[i] = r->w_uslots[(size_t)i] | ((int32_t)r->w_created[(size_t)i] << 30);
+  int32_t* hi = p32 + u_out;
+  int32_t* lo = hi + u_out;
+  for (int64_t i = 0; i < u_out; ++i) {
+    const int64_t k = r->w_ukeys[(size_t)i];
+    hi[i] = (int32_t)(k >> 32);
+    lo[i] = (int32_t)(k & 0xFFFFFFFFll);
+  }
+  int32_t* cur = lo + u_out;
+  if (with_counts) {
+    std::memcpy(cur, r->w_counts.data(), sizeof(int32_t) * (size_t)u_out);
+    cur += u_out;
+  }
+  uint8_t* pb = (uint8_t*)cur;
+  if (inv16) {
+    int16_t* inv = (int16_t*)pb;
+    for (int64_t i = 0; i < n; ++i) inv[i] = (int16_t)r->w_inv[(size_t)i];
+    pb += ((2 * n + 3) & ~3ll);
+  } else {
+    std::memcpy(pb, r->w_inv.data(), sizeof(int32_t) * (size_t)n);
+    pb += 4 * n;
+  }
+  int32_t* tail = (int32_t*)pb;
+  tail[0] = (int32_t)(rc >> 32);
+  tail[1] = (int32_t)(rc & 0xFFFFFFFFll);
+  tail[2] = (int32_t)mode;
+  tail[3] = 0x5EC2;
+  return rc;
+}
+
+// --- touched-slot recording (incremental-checkpoint recorder) -------------
+
+void hidx_track_touched(HostIndexResolver* r, int64_t enable) {
+  r->track_touched = enable != 0;
+  if (!enable) r->touched.clear();
+}
+
+// export touched slots (ascending); returns count written (<= max_n).
+// clear != 0 resets the recording window (the IncrSave "swap-out" step).
+int64_t hidx_touched_export(HostIndexResolver* r, int32_t* slots_out,
+                            int64_t max_n, int64_t clear) {
+  int64_t w = 0;
+  for (size_t wi = 0; wi < r->touched.size() && w < max_n; ++wi) {
+    uint64_t bits = r->touched[wi];
+    while (bits && w < max_n) {
+      const int b = __builtin_ctzll(bits);
+      slots_out[w++] = (int32_t)(wi * 64 + (size_t)b);
+      bits &= bits - 1;
+    }
+  }
+  if (clear) std::fill(r->touched.begin(), r->touched.end(), 0);
+  return w;
+}
+
+int64_t hidx_touched_count(HostIndexResolver* r) {
+  int64_t c = 0;
+  for (uint64_t w : r->touched) c += (int64_t)__builtin_popcountll(w);
+  return c;
 }
 
 // pre-size the key buffer and group maps for ~n_rows keys (kills the
@@ -949,7 +1063,17 @@ int64_t hidx_compact(HostIndexResolver* r, const uint8_t* keep,
       old_to_new[i] = -1;
     }
   }
+  // carry the touched-recording window through the renumbering (compaction
+  // happens at save-time eviction; rows touched since the last incremental
+  // must stay recorded under their new slots)
+  std::vector<uint64_t> old_touched;
+  old_touched.swap(r->touched);
   hidx_load(r, kept.data(), (int64_t)kept.size());
+  if (r->track_touched)
+    for (int64_t i = 0; i < old_n; ++i)
+      if (old_to_new[i] >= 0 && (size_t)(i >> 6) < old_touched.size() &&
+          (old_touched[(size_t)(i >> 6)] >> (i & 63)) & 1)
+        r->mark_touched(old_to_new[i]);
   return (int64_t)kept.size();
 }
 
