@@ -21,12 +21,16 @@ row gather -> segment combine -> optimizer scatter.
 
 Semantics are identical to the device-index path (asserted by
 tests/test_host_index.py): deterministic key-hashed row init, lazy init,
-within-batch-multiplicity freq counting, counter-filter admission,
-version stamps, the 4-array checkpoint format (interchangeable with
-device-path checkpoints in BOTH directions), capacity growth, and the
-max_unique overflow group. Not supported here (use the device-index
-collection): CBF bloom admission, mesh sharding (the sharded exchange
-probes owner shards on device), and tiered storage.
+within-batch-multiplicity freq counting, counter-filter AND
+counting-bloom (CBF) admission — the bloom gate lives in the resolver,
+where the reference's BloomFilter also lived (embedding_filter.h:28-130)
+— version stamps, the 4-array checkpoint format (interchangeable with
+device-path checkpoints in BOTH directions, including CBF counters),
+capacity growth, the max_unique overflow group, and true touched-key
+incremental deltas for light-layout tables (the resolver records touched
+slots — the reference's RecordSparseIndices role). Not supported here
+(use the device-index collection): mesh sharding beyond one controller
+(see parallel/host_sharded.py) and tiered storage.
 """
 from __future__ import annotations
 
@@ -167,10 +171,6 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
                  n_groups: int = 16, use_native: Optional[bool] = None,
                  **kwargs):
         super().__init__(columns, name=name, capacity=capacity, **kwargs)
-        if self.config.cbf_filter is not None:
-            raise NotImplementedError(
-                "CBF admission gates *insertion* inside the device step; "
-                "use the device-index EmbeddingCollection for CBF tables")
         from .config import StorageType
         if self.config.storage.storage_type is not StorageType.HBM:
             raise NotImplementedError(
@@ -179,6 +179,22 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         self._resolver = HostIndexResolver(n_groups=n_groups,
                                            use_native=use_native)
         self._resolver.reserve(min(capacity, 1 << 22))
+        if self.config.cbf_filter is not None:
+            # bloom admission lives IN the resolver (the reference's
+            # BloomFilter gated EV insertion from the CPU index,
+            # embedding_filter.h:28-130) — same sizing, hash family and
+            # bump/estimate order as the device engine, asserted
+            # bit-exact in tests/test_host_index.py
+            cbf = self.config.cbf_filter
+            self._resolver.cbf_enable(cbf.num_counters(), cbf.num_hashes,
+                                      cbf.filter_freq)
+        if not self.config.version_tracked:
+            # light layout: no version stamps to delta against — record
+            # touched slots in the resolver instead (the reference's
+            # RecordSparseIndices recorder, incr_save_restore_ops.h:329,
+            # for one bit-OR per unique per batch). Version-tracked
+            # tables keep the version-delta selection.
+            self._resolver.track_touched(True)
         self._last_cap_ovf = 0
         self._sat_steps = 0   # train resolves that overflowed max_unique
         self._max_nu = 0      # high-water unique demand
@@ -408,11 +424,12 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         versions = np.asarray(st.versions[:n])
         create_steps = np.asarray(st.create_steps[:n])
 
+        touched = None
         if since is not None and not cfg.version_tracked:
-            import warnings
-            warnings.warn(
-                f"table {cfg.name!r} has no version tracking: incremental "
-                "save falls back to all live rows for it", stacklevel=2)
+            # light layout: true delta from the resolver's touched-slot
+            # recorder (cleared here — this save is the window boundary)
+            touched = self._resolver.touched_slots(clear=True)
+            touched = touched[touched < n]
             since = None
         live = np.ones((n,), bool)
         if evict and cfg.evict is not None and global_step is not None:
@@ -420,11 +437,24 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
                                      global_step)
         if since is not None:
             live &= versions >= since
+        if touched is not None:
+            sel = np.zeros((n,), bool)
+            sel[touched] = True
+            live &= sel
+        elif since is None and not cfg.version_tracked:
+            # full save resets the light-layout recording window too
+            self._resolver.touched_slots(clear=True)
         idx = np.nonzero(live)[0]
 
         out = {"keys": keys[idx], "values": values[idx],
                "freqs": freqs[idx], "versions": versions[idx],
                "create_steps": create_steps[idx]}
+        if cfg.cbf_filter is not None:
+            # same layout as the device engine's checkpoint (pre-admission
+            # counts are training state; restores on either engine resume
+            # admission exactly)
+            out["cbf"] = self._resolver.cbf_export()
+            out["cbf_shards"] = np.asarray(1, np.int32)
         for name, leaf in F.slot_leaf_names(bundle.slot):
             if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == cfg.capacity + 1:
                 out[f"slot__{name}"] = np.asarray(leaf[:n])[idx]
@@ -458,6 +488,17 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
 
         self._resolver.load_keys(all_keys[sel])
         self._resolver.reserve(min(cap, 1 << 22))
+        if cfg.cbf_filter is not None:
+            from .checkpoint.saver import _cbf_for_shard
+            cbf_parts = [p for p in parts
+                         if "cbf" in p or any(k.startswith("cbf__shard")
+                                              for k in p)]
+            if cbf_parts:  # newest part's counters win (same-shape load;
+                # reshard folding handled by _cbf_for_shard)
+                counters = _cbf_for_shard(cbf_parts[-1], 0, 1)
+                if (counters is not None and counters.shape[0]
+                        == self.config.cbf_filter.num_counters()):
+                    self._resolver.cbf_load(counters)
 
         def dense(col, fill, dtype, extra_shape=()):
             out = np.full((cap + 1,) + extra_shape, fill, dtype)

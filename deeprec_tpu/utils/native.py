@@ -98,6 +98,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hidx_resolve_wire.argtypes = [ctypes.c_void_p, _p_i64, _i64,
                                           _i64, _i64, _i64, _i64, _i64,
                                           _i64, _p_u8]
+        lib.hidx_cbf_enable.restype = _i64
+        lib.hidx_cbf_enable.argtypes = [ctypes.c_void_p, _i64, _i64, _i64]
+        lib.hidx_cbf_export.restype = _i64
+        lib.hidx_cbf_export.argtypes = [ctypes.c_void_p, _p_i32, _i64]
+        lib.hidx_cbf_load.restype = _i64
+        lib.hidx_cbf_load.argtypes = [ctypes.c_void_p, _p_i32, _i64]
         lib.hidx_track_touched.argtypes = [ctypes.c_void_p, _i64]
         lib.hidx_touched_export.restype = _i64
         lib.hidx_touched_export.argtypes = [ctypes.c_void_p, _p_i32, _i64,
@@ -321,6 +327,8 @@ class HostIndexResolver:
             self._fb_cap_ovf = 0
             self._fb_uniq_ovf = 0
         self._fb_touch = None      # fallback touched-slot set (None = off)
+        self._fb_cbf = None        # fallback CBF counters (None = off)
+        self._cbf_cfg = None       # (m, n_hashes, freq) when enabled
 
     def __del__(self):
         if getattr(self, "_h", None) is not None and self._lib is not None:
@@ -338,6 +346,8 @@ class HostIndexResolver:
             self._fb_uniq_ovf = 0
             if self._fb_touch is not None:
                 self._fb_touch = set()
+            if self._fb_cbf is not None:
+                self._fb_cbf[:] = 0
 
     def reserve(self, n_rows: int) -> None:
         """Pre-size for ~n_rows keys (optional; kills rehash churn)."""
@@ -407,6 +417,10 @@ class HostIndexResolver:
         n_unique = 0
         n_overflow = 0
         int64_min = -(1 << 63)
+        # bloom gating defers slot work to a post-counts pass (the
+        # estimate must see ALL of this batch's bumps first — native
+        # parity)
+        gate = self._fb_cbf is not None and not readonly
         for i, k in enumerate(keys.tolist()):
             if k == int64_min:  # the C++ map's sentinel remap, mirrored
                 k = int64_min + 1
@@ -420,31 +434,71 @@ class HostIndexResolver:
                 if k != -1 and li < ovf:
                     n_unique += 1
                     ukeys[li] = k
-                    s = self._fb.get(k)
-                    if readonly:
-                        if s is None or s < 0:
-                            created[li] = 1  # MISSING marker
-                            s = None
-                    elif s is None or s < 0:
-                        if len(self._fb_keys) < row_capacity:
-                            s = len(self._fb_keys)
-                            self._fb[k] = s
-                            self._fb_keys.append(k)
-                            created[li] = 1
-                        else:
-                            self._fb[k] = -1  # pending: known, no row yet
-                            self._fb_cap_ovf += 1
-                            s = None
-                    if s is not None:
-                        uslots[li] = s
-                        if not readonly and self._fb_touch is not None:
-                            self._fb_touch.add(s)
+                    if not gate:
+                        s = self._fb.get(k)
+                        if readonly:
+                            if s is None or s < 0:
+                                created[li] = 1  # MISSING marker
+                                s = None
+                        elif s is None or s < 0:
+                            if len(self._fb_keys) < row_capacity:
+                                s = len(self._fb_keys)
+                                self._fb[k] = s
+                                self._fb_keys.append(k)
+                                created[li] = 1
+                            else:
+                                self._fb[k] = -1  # pending: known, no row
+                                self._fb_cap_ovf += 1
+                                s = None
+                        if s is not None:
+                            uslots[li] = s
+                            if not readonly and self._fb_touch is not None:
+                                self._fb_touch.add(s)
             gi = min(li, ovf)
             inverse[i] = gi
             if k != -1 and gi < ovf:
                 counts[gi] += 1
+        if gate:
+            self._fb_gated_assign(ukeys, uslots, created, counts,
+                                  row_capacity)
         self._fb_uniq_ovf += n_overflow
         return ukeys, uslots, inverse, created, counts, n_unique, n_overflow
+
+    def _fb_gated_assign(self, ukeys, uslots, created, counts,
+                         row_capacity):
+        """CBF pass of the fallback: bump all lanes' cells, then assign
+        slots only to lanes whose post-bump min estimate admits them."""
+        from ..sparse.keys import hash32_np
+        m, n_hashes, freq = self._cbf_cfg
+        lanes = np.nonzero(ukeys != -1)[0]
+        if not lanes.size:
+            return
+        lk = ukeys[lanes]
+        pos = np.stack([hash32_np(lk, seed=h + 1).astype(np.int64)
+                        & (m - 1) for h in range(n_hashes)])
+        for h in range(n_hashes):
+            np.add.at(self._fb_cbf, pos[h], counts[lanes])
+        est = self._fb_cbf[pos].min(axis=0)
+        for li, k, e in zip(lanes.tolist(), lk.tolist(), est.tolist()):
+            if e < freq:
+                if k not in self._fb:
+                    self._fb[k] = -1  # pending entry, native parity
+                continue
+            s = self._fb.get(k)
+            if s is None or s < 0:
+                if len(self._fb_keys) < row_capacity:
+                    s = len(self._fb_keys)
+                    self._fb[k] = s
+                    self._fb_keys.append(k)
+                    created[li] = 1
+                else:
+                    self._fb[k] = -1
+                    self._fb_cap_ovf += 1
+                    s = None
+            if s is not None:
+                uslots[li] = s
+                if self._fb_touch is not None:
+                    self._fb_touch.add(s)
 
     def resolve_wire(self, keys: np.ndarray, u_out: int, null_slot: int,
                      row_capacity: int, readonly: bool, with_counts: bool,
@@ -490,6 +544,43 @@ class HostIndexResolver:
         t0 = off["tail"] // 4
         p32[t0:t0 + 4] = (nu, nov, 1 if readonly else 0, 0x5EC2)
         return buf, nu, nov
+
+    # -- counting-bloom admission -----------------------------------------
+    def cbf_enable(self, m: int, n_hashes: int, freq: int) -> None:
+        """Bloom-gate slot assignment: a key claims a dense slot (and
+        touches its row) only once its post-bump count-min estimate
+        reaches ``freq``. Replicates the device engine's
+        _cbf_bump_and_estimate semantics (embedding_var.py) exactly —
+        same hash family, bump-by-multiplicity, post-all-bumps estimate,
+        per-batch re-check. Counters reset to zero."""
+        self._cbf_cfg = (int(m), int(n_hashes), int(freq))
+        if self._h is not None:
+            if int(self._lib.hidx_cbf_enable(self._h, m, n_hashes,
+                                             freq)) < 0:
+                raise ValueError("bad CBF params (m must be a power of 2)")
+        else:
+            self._fb_cbf = np.zeros((m,), np.int32)
+
+    def cbf_export(self) -> np.ndarray:
+        if self._cbf_cfg is None:
+            return np.zeros((0,), np.int32)
+        m = self._cbf_cfg[0]
+        if self._h is not None:
+            out = np.empty((m,), np.int32)
+            self._lib.hidx_cbf_export(self._h, out, m)
+            return out
+        return self._fb_cbf.copy()
+
+    def cbf_load(self, counters: np.ndarray) -> None:
+        counters = np.ascontiguousarray(counters, np.int32)
+        if self._cbf_cfg is None or counters.shape[0] != self._cbf_cfg[0]:
+            raise ValueError("CBF shape mismatch")
+        if self._h is not None:
+            if int(self._lib.hidx_cbf_load(self._h, counters,
+                                           counters.shape[0])) < 0:
+                raise ValueError("CBF shape mismatch")
+        else:
+            self._fb_cbf = counters.copy()
 
     # -- touched-slot recording (incremental checkpoints) ----------------
     def track_touched(self, enable: bool = True) -> None:

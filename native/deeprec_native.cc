@@ -570,6 +570,34 @@ struct HostIndexResolver {
     touched[w] |= 1ull << (slot & 63);
   }
 
+  // counting-bloom admission (reference embedding_filter.h:28-130
+  // BloomFilter), relocated into the resolver: pre-admission counts live
+  // in this count-min sketch, and a key claims a dense slot only once its
+  // post-bump min estimate reaches cbf_freq. Semantics (hash family, bump
+  // by within-batch multiplicity, post-ALL-bumps estimate, per-batch
+  // re-check) replicate sparse/embedding_var.py _cbf_bump_and_estimate
+  // bit-for-bit so host- and device-engine admission agree. Unlike the
+  // reference's pure bloom, a seen-but-unadmitted key also holds a 16-byte
+  // pending map entry (the in-batch dedup needs it) — bounded by distinct
+  // keys seen, still ~100x smaller than a row.
+  int64_t cbf_m = 0;       // counters (power of two); 0 = disabled
+  int64_t cbf_hashes = 0;
+  int64_t cbf_freq = 0;
+  std::vector<int32_t> cbf;
+
+  static inline uint32_t hash32_key(int64_t k, uint32_t seed) {
+    // K.hash32 / hash32_np mirror (murmur3 finalizer over the two planes)
+    uint32_t lo = (uint32_t)((uint64_t)k & 0xFFFFFFFFull);
+    uint32_t hi = (uint32_t)((uint64_t)k >> 32);
+    uint32_t h = lo ^ (hi * 0x85EBCA6Bu) ^ (seed * 0x9E3779B9u);
+    h ^= h >> 16;
+    h *= 0x85EBCA6Bu;
+    h ^= h >> 13;
+    h *= 0xC2B2AE35u;
+    h ^= h >> 16;
+    return h;
+  }
+
   explicit HostIndexResolver(int64_t g) : n_groups(g) {
     groups.resize((size_t)g);
     for (auto& m : groups) m.init(1024);
@@ -594,6 +622,7 @@ struct HostIndexResolver {
     cap_overflow = 0;
     uniq_overflow = 0;
     touched.clear();
+    std::fill(cbf.begin(), cbf.end(), 0);
   }
 };
 
@@ -863,6 +892,26 @@ int64_t hidx_resolve(HostIndexResolver* r, const int64_t* keys, int64_t n,
     }
   });
 
+  // counting-bloom bump pass (train only): every real unique lane adds its
+  // within-batch multiplicity to its H cells BEFORE any estimate is read —
+  // the same all-bumps-then-estimate order as the device engine's
+  // vectorized scatter-add + min-gather (embedding_var.py
+  // _cbf_bump_and_estimate), so same-batch cell sharing admits identically.
+  if (r->cbf_m && mode == 0) {
+    const uint32_t cm = (uint32_t)(r->cbf_m - 1);
+    for (int64_t g = 0; g < G; ++g) {
+      auto& uk = r->scr_keys[(size_t)g];
+      auto& ct = r->scr_count[(size_t)g];
+      const int64_t off = r->goff[(size_t)g];
+      for (size_t l = 0; l < uk.size(); ++l) {
+        if (uk[l] == IdxGroup::kEmpty || off + (int64_t)l >= ovf_lane)
+          continue;
+        for (int64_t h = 0; h < r->cbf_hashes; ++h)
+          r->cbf[HostIndexResolver::hash32_key(uk[l], (uint32_t)(h + 1)) & cm] += ct[l];
+      }
+    }
+  }
+
   // unique lanes + slot assignment (slot order: group order, then
   // first-seen order — deterministic, independent of thread count).
   // scr_j map indices stay valid unless the group's map grew this batch.
@@ -888,6 +937,18 @@ int64_t hidx_resolve(HostIndexResolver* r, const int64_t* keys, int64_t n,
         else
           created[gi] = 1;  // readonly: MISSING marker
         continue;
+      }
+      if (r->cbf_m) {
+        // bloom-gated access: a key under the admission estimate neither
+        // claims a slot nor touches an existing row this batch (the
+        // device engine probes it as EMPTY — gated = where(insertable,
+        // ukeys, EMPTY) in lookup_or_create_unique)
+        const uint32_t cm = (uint32_t)(r->cbf_m - 1);
+        int32_t est = INT32_MAX;
+        for (int64_t h = 0; h < r->cbf_hashes; ++h)
+          est = std::min(est,
+                         r->cbf[HostIndexResolver::hash32_key(uk[l], (uint32_t)(h + 1)) & cm]);
+        if (est < r->cbf_freq) continue;
       }
       size_t j = stale_j ? m.probe(uk[l]) : (size_t)sj[l];
       IdxEnt& e = m.ents[j];
@@ -978,6 +1039,32 @@ int64_t hidx_resolve_wire(HostIndexResolver* r, const int64_t* keys,
   tail[2] = (int32_t)mode;
   tail[3] = 0x5EC2;
   return rc;
+}
+
+// --- counting-bloom admission ----------------------------------------------
+
+// enable (m = power-of-two counter count) or disable (m = 0) the bloom
+// gate; counters reset to zero on every call.
+int64_t hidx_cbf_enable(HostIndexResolver* r, int64_t m, int64_t n_hashes,
+                        int64_t freq) {
+  if (m < 0 || (m & (m - 1)) || n_hashes < 0 || n_hashes > 16) return -1;
+  r->cbf_m = m;
+  r->cbf_hashes = n_hashes;
+  r->cbf_freq = freq;
+  r->cbf.assign((size_t)m, 0);
+  return 0;
+}
+
+int64_t hidx_cbf_export(HostIndexResolver* r, int32_t* out, int64_t max_n) {
+  int64_t n = std::min<int64_t>(r->cbf_m, max_n);
+  std::memcpy(out, r->cbf.data(), sizeof(int32_t) * (size_t)n);
+  return n;
+}
+
+int64_t hidx_cbf_load(HostIndexResolver* r, const int32_t* in, int64_t n) {
+  if (n != r->cbf_m) return -1;
+  std::memcpy(r->cbf.data(), in, sizeof(int32_t) * (size_t)n);
+  return n;
 }
 
 // --- touched-slot recording (incremental-checkpoint recorder) -------------

@@ -380,10 +380,6 @@ def test_estimator_with_host_index(tmp_path):
 
 def test_host_unsupported_configs_raise():
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn("a"), 4)]
-    with pytest.raises(NotImplementedError):
-        HostIndexEmbeddingCollection(
-            cols, capacity=64,
-            cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=100))
     from deeprec_tpu.config import StorageOption, StorageType
     with pytest.raises(NotImplementedError):
         HostIndexEmbeddingCollection(
@@ -392,3 +388,143 @@ def test_host_unsupported_configs_raise():
     coll = HostIndexEmbeddingCollection(cols, capacity=64)
     with pytest.raises(NotImplementedError):
         coll.sharded_table_spec("x", None)
+
+
+def test_host_light_layout_touched_incremental(tmp_path):
+    """LIGHT-layout tables (no version stamps) get TRUE incremental deltas
+    from the resolver's touched-slot recorder (reference recorder-op
+    semantics, incr_save_restore_ops.h:329) — not a full-row dump, and
+    base+incr restore equals the live table bit-for-bit."""
+    from deeprec_tpu.checkpoint.saver import CheckpointManager
+
+    gen = SyntheticCriteo(batch_size=128, seed=41)
+    batches = list(gen.take(8))
+    tr, coll = _build(True)  # light: no filter, no evict
+    assert not coll.config.version_tracked
+    st = tr.init(jax.random.key(0), batches[0])
+    mgr = CheckpointManager(str(tmp_path / "c"))
+    for b in batches[:4]:
+        st = tr.train_step(st, b)
+    mgr.save(tr, st, evict=False)
+    rows_full = int(coll._resolver.size)
+
+    # a NARROW post-save window: only two batches touch rows
+    for b in batches[4:6]:
+        st = tr.train_step(st, b)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old fallback warned here
+        path = mgr.save_incremental(tr, st)
+    import json, os
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    n_incr = manifest["tables"]["emb"]
+    # the delta holds only rows touched after the full save: strictly
+    # fewer than all live rows
+    assert 0 < n_incr < int(coll._resolver.size), (n_incr, rows_full)
+
+    # base + delta replay == the live table
+    tr2, c2 = _build(True)
+    s2 = tr2.init(jax.random.key(1), batches[0])
+    s2, ok = CheckpointManager(str(tmp_path / "c")).restore(tr2, s2)
+    assert ok
+    v1, f1, _ = _table_dict(coll, st.tables["emb"], True, int(st.step))
+    v2, f2, _ = _table_dict(c2, s2.tables["emb"], True, int(s2.step))
+    assert v1.keys() == v2.keys()
+    for k in v1:
+        np.testing.assert_array_equal(v1[k], v2[k])
+
+    # the recorder window RESET at the incremental: an immediate second
+    # incremental is (near-)empty
+    p2 = mgr.save_incremental(tr, st)
+    with open(os.path.join(p2, "manifest.json")) as f:
+        m2 = json.load(f)
+    assert m2["tables"]["emb"] == 0
+
+
+def test_host_cbf_admission_parity(tmp_path):
+    """Counting-bloom admission in the RESOLVER admits, gates and counts
+    identically to the device engine (same hash family, bump order and
+    post-bump estimate), and CBF counters checkpoint-interchange across
+    engines."""
+    from deeprec_tpu.checkpoint.saver import CheckpointManager
+
+    kw = dict(cbf_filter=dr.CBFFilter(filter_freq=3, max_element_size=2000,
+                                      num_hashes=4))
+    gen = SyntheticCriteo(batch_size=128, seed=61)
+    batches = list(gen.take(8))
+    tr_d, c_d = _build(False, **kw)
+    tr_h, c_h = _build(True, **kw)
+    sd = tr_d.init(jax.random.key(0), batches[0])
+    sh = tr_h.init(jax.random.key(0), batches[0])
+    for b in batches[:6]:
+        sd = tr_d.train_step(sd, b)
+        sh = tr_h.train_step(sh, b)
+    # materialized key sets, rows, freqs equal; losses equal
+    vd, fd, _ = _table_dict(c_d, sd.tables["emb"], False, int(sd.step))
+    vh, fh, _ = _table_dict(c_h, sh.tables["emb"], True, int(sh.step))
+    assert vd.keys() == vh.keys() and len(vd) > 0
+    assert fd == fh
+    for k in vd:
+        np.testing.assert_array_equal(vd[k], vh[k])
+    assert float(sd.metrics.loss_sum) == pytest.approx(
+        float(sh.metrics.loss_sum), rel=1e-6)
+    # the gate actually gates: far fewer rows than distinct keys seen
+    seen = set()
+    for b in batches[:6]:
+        for n in CAT_NAMES:
+            seen.update(np.asarray(b[n]).tolist())
+    assert len(vh) < len(seen)
+    # CBF counters identical across engines
+    np.testing.assert_array_equal(c_h._resolver.cbf_export(),
+                                  np.asarray(sd.tables["emb"].ev.cbf))
+
+    # host ckpt (with counters) -> device restore; continue; still equal
+    mgr = CheckpointManager(str(tmp_path / "x"))
+    mgr.save(tr_h, sh, evict=False)
+    tr_d2, c_d2 = _build(False, **kw)
+    s2 = tr_d2.init(jax.random.key(1), batches[0])
+    s2, ok = CheckpointManager(str(tmp_path / "x")).restore(tr_d2, s2)
+    assert ok
+    np.testing.assert_array_equal(np.asarray(s2.tables["emb"].ev.cbf),
+                                  c_h._resolver.cbf_export())
+    for b in batches[6:]:
+        sh = tr_h.train_step(sh, b)
+        s2 = tr_d2.train_step(s2, b)
+    vh, fh, _ = _table_dict(c_h, sh.tables["emb"], True, int(sh.step))
+    v2, f2, _ = _table_dict(c_d2, s2.tables["emb"], False, int(s2.step))
+    assert vh.keys() == v2.keys() and fh == f2
+
+    # device ckpt -> HOST restore resumes admission counts
+    mgr_d = CheckpointManager(str(tmp_path / "d"))
+    mgr_d.save(tr_d2, s2, evict=False)
+    tr_h3, c_h3 = _build(True, **kw)
+    s3 = tr_h3.init(jax.random.key(2), batches[0])
+    s3, ok = CheckpointManager(str(tmp_path / "d")).restore(tr_h3, s3)
+    assert ok
+    np.testing.assert_array_equal(c_h3._resolver.cbf_export(),
+                                  np.asarray(s2.tables["emb"].ev.cbf))
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib unavailable")
+def test_resolver_cbf_native_matches_fallback():
+    rng = np.random.default_rng(7)
+    nat = HostIndexResolver(n_groups=1, use_native=True)
+    fb = HostIndexResolver(use_native=False)
+    for r in (nat, fb):
+        r.cbf_enable(1 << 10, 4, 3)
+    for step in range(12):
+        keys = rng.choice(np.arange(-1, 120, dtype=np.int64), size=256)
+        ro = step % 4 == 3
+        a = nat.resolve(keys, 80, 999, 1000, readonly=ro)
+        b = fb.resolve(keys, 80, 999, 1000, readonly=ro)
+        for x, y, what in zip(a, b, ["ukeys", "uslots", "inverse",
+                                     "created", "counts", "nu", "nov"]):
+            assert np.array_equal(x, y), (step, what)
+        # wire path too
+        wa, n1, o1 = nat.resolve_wire(keys, 80, 999, 1000, ro, True, True)
+        wb, n2, o2 = fb.resolve_wire(keys, 80, 999, 1000, ro, True, True)
+        assert (n1, o1) == (n2, o2)
+        assert np.array_equal(wa, wb)
+    np.testing.assert_array_equal(nat.cbf_export(), fb.cbf_export())
+    assert nat.stats() == fb.stats()
