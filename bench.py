@@ -47,6 +47,13 @@ def main():
                          "environment the per-step H2D is a synchronous "
                          "~9 ms network hop, so this mostly measures the "
                          "tunnel, not the engine — recorded for honesty")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="with --host-index: resolve+transfer run inside "
+                         "the timed loop on the HostStepPipeline (resolve "
+                         "thread -> H2D thread -> dispatch), i.e. the "
+                         "production loop shape of train/cli.py — the "
+                         "end-to-end demonstration that the host half "
+                         "hides under the device step")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute in the dense towers")
     ap.add_argument("--metadata", action="store_true",
@@ -141,7 +148,32 @@ def main():
                 coll.pack_ids_np(b),
                 jnp2.asarray(b["label"], jnp2.float32)) for b in batches]
 
-        if args.inline_resolve:
+        if args.pipelined:
+            # end-to-end with the production pipeline: the resolve thread
+            # indexes step N+2 while the H2D thread ships step N+1 and the
+            # device executes step N (train/pipeline.py). Timed loop
+            # includes resolve + transfer + dispatch — nothing prepared
+            # ahead except datagen + numpy packing (methodology note in
+            # docs/BENCH.md).
+            from deeprec_tpu.train.pipeline import HostStepPipeline
+
+            def _res(item):
+                dense, ids_np, labels = item
+                return dense, {"emb": coll.pack_ids_host(ids_np)}, labels
+
+            def _step(p):
+                nonlocal state
+                state = tr._jit_train(state, *p)
+
+            with HostStepPipeline(_res, depth=3) as pipe:
+                pipe.run(pre[:warm], _step)
+                float(state.metrics.count)  # fence
+                t0 = time.perf_counter()
+                pipe.run(pre[warm:], _step)
+                assert float(state.metrics.count) \
+                    == (args.steps + warm) * args.batch
+                dt = time.perf_counter() - t0
+        elif args.inline_resolve:
             # end-to-end: resolve (index mutation, step order) + transfer
             # inside the timed loop. jax dispatch is async, so step N+1's
             # host half overlaps the device executing step N — wall clock
@@ -209,6 +241,8 @@ def main():
         name += "_device_index"
     if args.host_index and args.inline_resolve:
         name += "_inline_resolve"
+    if args.host_index and args.pipelined:
+        name += "_pipelined"
     if args.metadata:
         name += "_metadata"
     print(json.dumps({

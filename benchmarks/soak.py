@@ -54,8 +54,9 @@ def build_trainer(args):
             for n in CAT_NAMES]
     if args.host_index:
         # the host-index fast path's operational soak: growth, admission
-        # filter, step eviction, incremental saves, failover — everything
-        # except the host TIER (device-engine-only); Trainer not Tiered
+        # filter, step eviction, incremental saves, failover AND the host
+        # tier (round 5: promotion rides the resolve wire) — the plain
+        # Trainer drives it (the collection tiers itself)
         from deeprec_tpu.host_index import HostIndexEmbeddingCollection
         from deeprec_tpu.train.trainer import Trainer
         coll = HostIndexEmbeddingCollection(
@@ -63,7 +64,8 @@ def build_trainer(args):
             initializer=dr.Initializer("normal", scale=0.05),
             max_unique=len(CAT_NAMES) * args.batch // 6,
             counter_filter=dr.CounterFilter(filter_freq=2),
-            evict=dr.GlobalStepEvict(steps_to_live=args.steps_to_live))
+            evict=dr.GlobalStepEvict(steps_to_live=args.steps_to_live),
+            storage=StorageOption(storage_type=StorageType.HBM_DRAM))
         model = ctr.DCN(emb_names=CAT_NAMES, cross_layers=3,
                         deep_units=(512, 256, 64))
         return Trainer(
@@ -162,20 +164,30 @@ def main():
     # key index and runs on the main thread, in step order — see
     # train/cli.py), and there is no promotion.
     stream = iter(gen)
+    pipe = None
     if args.host_index:
         from deeprec_tpu.feature_column import pack_dense
+        from deeprec_tpu.train.pipeline import HostStepPipeline
 
         prep = lambda b: (None, (pack_dense(tr.numeric_columns, b),
                                  tr.collections["emb"].pack_ids_np(b),
                                  np.asarray(b["label"], np.float32)))
         put = lambda rp: rp
 
-        def run_step(state, raw, packed):
-            import jax.numpy as jnp
+        # the production pipeline (train/pipeline.py): resolve thread ->
+        # H2D thread -> dispatch; run_step only consumes device-ready args.
+        # `tr` rebinds at failover — resolve reads it late so the fresh
+        # resolver is picked up (the pipeline is empty there: fences drain).
+        def _resolve(packed):
             dense_np, ids_np, labels_np = packed
-            cats = {"emb": tr.collections["emb"].pack_ids(ids_np)}
-            return tr._jit_train(state, jnp.asarray(dense_np), cats,
-                                 jnp.asarray(labels_np))
+            return (dense_np,
+                    {"emb": tr.collections["emb"].pack_ids_host(ids_np)},
+                    labels_np)
+
+        pipe = HostStepPipeline(_resolve, depth=3)
+
+        def run_step(state, raw, packed):
+            return tr._jit_train(state, *packed)
     else:
         prep = lambda b: (b, tr.prepare_batch(b))
         put = lambda rp: (rp[0], jax.device_put(rp[1]))
@@ -186,19 +198,42 @@ def main():
     with staged(stream, prepare=prep, depth=8, device_put=put,
                 workers=args.prefetch_workers) as pf:
         pf_it = iter(pf)
+
+        def take_step(state):
+            """One train step; host-index mode keeps the pipeline primed
+            (resolve + H2D threads run `depth` ahead of dispatch)."""
+            if pipe is not None:
+                while len(pipe) < pipe.depth:
+                    pipe.feed(next(pf_it)[1])
+                return run_step(state, None, pipe.take())
+            raw, packed = next(pf_it)
+            return run_step(state, raw, packed)
+
+        def drain(state):
+            """Consume in-flight pipeline steps: fence work (save/grow/
+            health/failover) must see resolver == device state."""
+            n = 0
+            while pipe is not None and len(pipe):
+                state = run_step(state, None, pipe.take())
+                n += 1
+            return state, n
+
         # warm the compile outside the timed region
-        raw, packed = next(pf_it)
-        state = run_step(state, raw, packed)
+        state = take_step(state)
+        state, _ = drain(state)
         float(state.metrics.count)     # D2H fence (tunnel-honest)
         n_fence = 0
         while (time.time() < deadline
                and (args.max_fences is None or n_fence < args.max_fences)):
             t0 = time.perf_counter()
+            n_win = 0
             for _ in range(args.fence_every):
-                raw, packed = next(pf_it)
-                state = run_step(state, raw, packed)
+                state = take_step(state)
+                n_win += 1
+            state, k = drain(state)
+            n_win += k
             m = fence_stats(state)     # D2H read = the fence
-            dt = (time.perf_counter() - t0) / args.fence_every
+            dt = (time.perf_counter() - t0) / n_win
             n_fence += 1
             fence_times.append(dt)
 
@@ -261,6 +296,8 @@ def main():
                              "resumed_step": int(state.step),
                              "steps_lost": restore_gap})
 
+    if pipe is not None:
+        pipe.close()
     mgr.save(tr, state)
     train_m = M.summarize(state.metrics)
 

@@ -26,11 +26,17 @@ counting-bloom (CBF) admission — the bloom gate lives in the resolver,
 where the reference's BloomFilter also lived (embedding_filter.h:28-130)
 — version stamps, the 4-array checkpoint format (interchangeable with
 device-path checkpoints in BOTH directions, including CBF counters),
-capacity growth, the max_unique overflow group, and true touched-key
+capacity growth, the max_unique overflow group, true touched-key
 incremental deltas for light-layout tables (the resolver records touched
-slots — the reference's RecordSparseIndices role). Not supported here
-(use the device-index collection): mesh sharding beyond one controller
-(see parallel/host_sharded.py) and tiered storage.
+slots — the reference's RecordSparseIndices role), and TIERED storage
+(HBM_DRAM / HBM_DRAM_SSD): demotion compacts the resolver + row stores
+at fence points, and promotion rides the resolve wire — the host probes
+the tier at resolve time and ships re-touched rows' payload WITH the
+batch, zero extra device dispatches (tests/test_host_tiered.py asserts
+key-map equality with the device-engine TieredTrainer). Not supported
+here: mesh sharding beyond one controller (see parallel/host_sharded.py)
+and CBF admission on a TIERED table (the bloom gate would deny a
+returning demoted key its slot; CounterFilter + tier is supported).
 """
 from __future__ import annotations
 
@@ -99,16 +105,31 @@ class ResolvedWire:
     fields are pytree-static (they set the decode slicing); the buffer
     is the single traced leaf. Decoding is bitcast + slice on device
     (VPU-trivial, fused by XLA into the consuming gathers).
+
+    Tiered tables add two optional PROMO planes (``promo_lanes`` int32
+    [P], padded with U = out-of-bounds; ``promo_payload`` float32
+    [P, W] tier_payload rows): keys re-touched after a demotion, looked
+    up in the host tier AT RESOLVE TIME — the payload travels with the
+    batch and is scattered back into the stores inside the SAME jitted
+    step (``apply_promo``), so promotion costs zero extra device
+    dispatches (the device-index engine pays one promote-insert dispatch
+    per hit batch; reference analog: the CPU ValuePtr tiers behind
+    embedding_var.h:221 where promotion is a host pointer move).
+    `decode` clears ``created`` on promo lanes so lazy/eager init never
+    overwrites a promoted row — and readonly (eval) resolves patch the
+    gathered rows directly, mutating nothing.
     """
 
-    __slots__ = ("buf", "u", "n", "with_counts", "inv16")
+    __slots__ = ("buf", "u", "n", "with_counts", "inv16", "promo")
 
-    def __init__(self, buf, u: int, n: int, with_counts: bool, inv16: bool):
+    def __init__(self, buf, u: int, n: int, with_counts: bool, inv16: bool,
+                 promo=None):
         self.buf = buf  # uint8 [wire_layout(...)[0]]
         self.u = int(u)
         self.n = int(n)
         self.with_counts = bool(with_counts)
         self.inv16 = bool(inv16)
+        self.promo = promo  # None | (lanes i32 [P], payload f32 [P, W])
 
     def decode(self) -> ResolvedIds:
         from .utils.native import wire_layout
@@ -126,6 +147,10 @@ class ResolvedWire:
         ukeys = K.Keys(hi, lo)
         uslots = sf & ((1 << 30) - 1)
         created = (sf >> 30) & 1 == 1
+        if self.promo is not None:
+            # a promoted row is RESTORED training state, not a fresh key:
+            # init paths (lazy gather-add / eager row write) must skip it
+            created = created.at[self.promo[0]].set(False, mode="drop")
         if self.with_counts:
             counts = i32(off["counts"], U)
         else:
@@ -152,11 +177,21 @@ class ResolvedWire:
         )
 
 
-jax.tree_util.register_pytree_node(
-    ResolvedWire,
-    lambda w: ((w.buf,), (w.u, w.n, w.with_counts, w.inv16)),
-    lambda meta, children: ResolvedWire(children[0], *meta),
-)
+def _wire_flatten(w):
+    if w.promo is None:
+        return (w.buf,), (w.u, w.n, w.with_counts, w.inv16, False)
+    return ((w.buf,) + tuple(w.promo),
+            (w.u, w.n, w.with_counts, w.inv16, True))
+
+
+def _wire_unflatten(meta, children):
+    u, n, wc, inv16, has_promo = meta
+    promo = tuple(children[1:]) if has_promo else None
+    return ResolvedWire(children[0], u, n, wc, inv16, promo=promo)
+
+
+jax.tree_util.register_pytree_node(ResolvedWire, _wire_flatten,
+                                   _wire_unflatten)
 
 
 class HostIndexEmbeddingCollection(EmbeddingCollection):
@@ -172,10 +207,18 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
                  **kwargs):
         super().__init__(columns, name=name, capacity=capacity, **kwargs)
         from .config import StorageType
-        if self.config.storage.storage_type is not StorageType.HBM:
+        self.tier_store = None   # host tier (HostKV/TierStack), lazy
+        self._tier_since_save = set()  # keys demoted since the last save
+        self._tiered = self.config.storage.storage_type is not StorageType.HBM
+        if self._tiered and self.config.cbf_filter is not None:
+            # the resolver's bloom gate would deny a slot to a returning
+            # demoted key until its estimate re-crosses filter_freq,
+            # diverging from the device engine (whose promote-insert
+            # bypasses admission for once-admitted rows). Justified
+            # rejection until the resolver grows a force-insert API.
             raise NotImplementedError(
-                "tiered storage demotes rows on-device; use the "
-                "device-index EmbeddingCollection for tiered tables")
+                "host-index tiered storage with CBF admission: use "
+                "CounterFilter, or the device-index EmbeddingCollection")
         self._resolver = HostIndexResolver(n_groups=n_groups,
                                            use_native=use_native)
         self._resolver.reserve(min(capacity, 1 << 22))
@@ -205,6 +248,8 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         table restart together — Trainer.init's sample-batch resolve is
         discarded along with its throwaway lookup)."""
         self._resolver.reset()
+        self.tier_store = None
+        self._tier_since_save = set()
         cfg = self.config
         cap = cfg.capacity
         width = cfg.embedding_dim + cfg.fused_slot_columns
@@ -223,7 +268,8 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
                        or cfg.counter_filter is not None)
         return u_out, with_counts, u_out <= 32767
 
-    def _resolve(self, batch, readonly: bool) -> ResolvedWire:
+    def _resolve(self, batch, readonly: bool,
+                 to_device: bool = True) -> ResolvedWire:
         packed = batch if isinstance(batch, np.ndarray) \
             else self.pack_ids_np(batch)
         cap = self.config.capacity
@@ -235,13 +281,64 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         if not readonly:
             self._sat_steps += int(nov > 0)
             self._max_nu = max(self._max_nu, int(nu) + int(nov))
-        return ResolvedWire(buf=jnp.asarray(buf), u=u_out, n=n,
-                            with_counts=with_counts, inv16=inv16)
+        promo = self._tier_promo(buf, u_out, readonly) if self._tiered \
+            else None
+        if to_device:
+            buf = jnp.asarray(buf)
+            if promo is not None:
+                promo = (jnp.asarray(promo[0]), jnp.asarray(promo[1]))
+        return ResolvedWire(buf=buf, u=u_out, n=n,
+                            with_counts=with_counts, inv16=inv16,
+                            promo=promo)
+
+    def _tier_promo(self, buf: np.ndarray, u_out: int, readonly: bool):
+        """Host half of tier promotion, run AT RESOLVE TIME (stage R of
+        the pipeline): created (train) / missing (readonly) lanes probe
+        the host tier; hits become the wire's promo planes and — train
+        only — leave the tier (their payload is now in flight to HBM).
+        Zero device round-trips: the reference's CPU tiers did promotion
+        as a host pointer move (embedding/storage.h), and the resolver
+        is exactly that host."""
+        if self.tier_store is None or len(self.tier_store) == 0:
+            return None
+        p32 = buf[:12 * u_out].view(np.int32)
+        sf = p32[:u_out]
+        lanes = np.nonzero((sf >> 30) & 1)[0].astype(np.int32)
+        if not lanes.size:
+            return None
+        hi = p32[u_out:2 * u_out][lanes].astype(np.int64)
+        lo = p32[2 * u_out:3 * u_out][lanes].astype(np.uint32)
+        keys = (hi << 32) | lo.astype(np.int64)
+        rows, found = self.tier_store.lookup(keys)
+        if not found.any():
+            return None
+        lanes = lanes[found]
+        rows = rows[found]
+        if not readonly:
+            hit_keys = keys[found]
+            self.tier_store.erase(hit_keys)
+            self._tier_since_save.difference_update(
+                int(k) for k in hit_keys)
+        m = lanes.shape[0]
+        P = max(8, 1 << (m - 1).bit_length())  # pow2 pad bounds retraces
+        pl = np.full((P,), u_out, np.int32)    # pad = U -> OOB, dropped
+        pl[:m] = lanes
+        pp = np.zeros((P, rows.shape[1]), np.float32)
+        pp[:m] = rows
+        return pl, pp
 
     def pack_ids(self, batch) -> ResolvedIds:
         """Train-path host resolve (find-or-insert; mutates the index —
         call once per training batch, in step order)."""
         return self._resolve(batch, readonly=False)
+
+    def pack_ids_host(self, batch) -> ResolvedWire:
+        """Train resolve with a HOST (numpy) wire buffer: the resolve
+        stage of train.pipeline.HostStepPipeline — its transfer thread
+        device_puts the wire, so the blocking H2D never runs on the
+        dispatch thread. Same index mutation/step-order rules as
+        :meth:`pack_ids`."""
+        return self._resolve(batch, readonly=False, to_device=False)
 
     def pack_ids_eval(self, batch) -> ResolvedIds:
         """Eval/serving resolve: find-only, no mutation."""
@@ -309,6 +406,187 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
                                 versions=versions, create_steps=create_steps)
         return new_state, self._aux_from_resolved(r, admitted)
 
+    # -- tiered storage (HBM + host DRAM/SSD) ------------------------------
+    def apply_promo(self, state: HostEVState, slot_state, wire):
+        """Traced promotion: scatter the wire's tier-promoted payload rows
+        (values + exact-bit meta + optimizer slot rows, tier_payload
+        layout) into the stores, INSIDE the train step — the host already
+        did the tier lookup at resolve time (`_tier_promo`), so promotion
+        costs zero extra device dispatches. Pytree-static no-op when the
+        wire carries no promo planes. Runs BEFORE lookup_or_create so the
+        batch's freq/version scatters land on top of the restored row
+        (device-engine promote-then-lookup order,
+        train/tiered_trainer.py:114-117)."""
+        if not isinstance(wire, ResolvedWire) or wire.promo is None:
+            return state, slot_state
+        from .sparse import tier_payload as TP
+        lanes, payload = wire.promo
+        cfg = self.config
+        cap = cfg.capacity
+        U = wire.u
+        # slots of the promo lanes, from the wire's slots plane
+        sl = jax.lax.dynamic_slice_in_dim(wire.buf, 0, U * 4)
+        sf = jax.lax.bitcast_convert_type(sl.reshape(U, 4), jnp.int32)
+        slots = (sf & ((1 << 30) - 1))[jnp.minimum(lanes, U - 1)]
+        valid = (lanes < U) & (slots != cap)
+        dest = jnp.where(valid, slots, cap + 1)  # OOB -> dropped
+        spec = TP.spec(state.values.shape[1], slot_state, cap + 1)
+        dim = spec.dim
+        values = state.values.at[dest].set(
+            payload[:, :dim].astype(state.values.dtype), mode="drop",
+            unique_indices=True)
+        freqs = state.freqs.at[dest].set(
+            TP._from_f32_bits(payload[:, dim], jnp.int32), mode="drop",
+            unique_indices=True)
+        versions = state.versions.at[dest].set(
+            TP._from_f32_bits(payload[:, dim + 1], jnp.int32), mode="drop",
+            unique_indices=True)
+        create_steps = state.create_steps.at[dest].set(
+            TP._from_f32_bits(payload[:, dim + 2], jnp.int32), mode="drop",
+            unique_indices=True)
+        o = dim + 3
+        leaves = list(jax.tree_util.tree_leaves(slot_state))
+        treedef = jax.tree_util.tree_structure(slot_state)
+        P = lanes.shape[0]
+        for s in spec.slot_rows:
+            part = TP._from_f32_bits(payload[:, o:o + s.width],
+                                     s.dtype).reshape((P,) + s.shape)
+            leaves[s.index] = leaves[s.index].at[dest].set(
+                part, mode="drop", unique_indices=True)
+            o += s.width
+        slot_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        return HostEVState(values=values, freqs=freqs, versions=versions,
+                           create_steps=create_steps), slot_state
+
+    def _make_tier(self, width: int):
+        st = self.config.storage
+        from .config import StorageType
+        if st.storage_type is StorageType.HBM_DRAM_SSD:
+            import os
+            import tempfile
+            from .utils.native import TierStack
+            path = st.ssd_path or os.path.join(
+                tempfile.gettempdir(),
+                f"deeprec_hidx_ssd_{self.name}_{os.getpid()}.arena")
+            # version col inside the payload: values block, freq, THEN
+            # version (tier_payload layout)
+            vcol = self.config.embedding_dim \
+                + self.config.fused_slot_columns + 1
+            return TierStack(width, vcol, st.dram_row_budget, path)
+        from .utils.native import HostKV
+        return HostKV(width, 1 << 16)
+
+    def demote_cold(self, state: HostEVState, slot_state, global_step: int,
+                    opt=None):
+        """Move policy-cold (and HBM-budget-excess) rows to the host tier
+        and compact the resolver + row stores. Call at FENCE points only
+        (pipeline drained — in-flight resolves hold slot numbers this
+        renumbers). Returns (state, slot_state, n_demoted).
+
+        Predicates are the shared host definitions (ev.cold_mask_np /
+        ev.budget_cold_np — same as the device engine and the checkpoint
+        saver, so the three can never diverge). D2H cost: the [size]
+        version/freq planes + only the DEMOTED rows' payload (the device
+        engine's sweep pulls the full value store; here values transfer
+        only under an L2 policy, which needs norms)."""
+        from .config import L2WeightEvict
+        from .optim.sparse import permute_slot_state
+        from .sparse import tier_payload as TP
+        cfg = self.config
+        budget = cfg.storage.hbm_capacity
+        if cfg.evict is None and budget <= 0:
+            return state, slot_state, 0
+        n = self._resolver.size
+        if n == 0:
+            return state, slot_state, 0
+        versions = np.asarray(state.versions[:n])
+        freqs = np.asarray(state.freqs[:n])
+        occupied = np.ones((n,), bool)
+        values_np = (np.asarray(state.values[:n])
+                     if isinstance(cfg.evict, L2WeightEvict)
+                     else np.zeros((n, 1), np.float32))
+        cold = ev.cold_mask_np(cfg, values_np, versions, occupied,
+                               int(global_step))
+        cold = ev.budget_cold_np(cfg, versions, freqs, occupied, cold,
+                                 budget)
+        if not cold.any():
+            return state, slot_state, 0
+        idx = np.nonzero(cold)[0]
+        keys = self._resolver.export_keys()
+        keys_cold = keys[idx]
+
+        # payload: gather ONLY the cold rows on device, then one D2H
+        spec = TP.spec(state.values.shape[1], slot_state, cfg.capacity + 1)
+        didx = jnp.asarray(idx, jnp.int32)
+        vals_cold = np.asarray(state.values[didx])
+        cs_cold = np.asarray(state.create_steps[didx])
+        leaves = list(jax.tree_util.tree_leaves(slot_state))
+        leaves_cold = list(leaves)
+        for s in spec.slot_rows:
+            leaves_cold[s.index] = np.asarray(leaves[s.index][didx])
+        payload = TP.pack_np(spec, np.arange(idx.shape[0]), vals_cold,
+                             freqs[idx], versions[idx], cs_cold,
+                             leaves_cold)
+        if self.tier_store is None:
+            self.tier_store = self._make_tier(spec.width)
+        assert self.tier_store.dim == spec.width, \
+            "payload width changed under the tier (optimizer swap?)"
+        self.tier_store.upsert(keys_cold, payload)
+        self._tier_since_save.update(int(k) for k in keys_cold)
+
+        # compact: resolver renumbers kept slots densely; device stores
+        # follow with one scatter-permute (dropped rows -> cap+1 = drop)
+        keep = ~cold
+        old_to_new = self._resolver.compact(keep.astype(np.uint8))
+        cap = cfg.capacity
+        o2n = np.full((cap,), cap + 1, np.int32)
+        o2n[:n] = np.where(old_to_new >= 0, old_to_new, cap + 1)
+        perm = jnp.asarray(o2n)
+        new_state = HostEVState(
+            values=ev.permute_rows(state.values, perm, cap),
+            freqs=ev.permute_rows(state.freqs, perm, cap),
+            versions=ev.permute_rows(state.versions, perm, cap, fill=-1),
+            create_steps=ev.permute_rows(state.create_steps, perm, cap,
+                                         fill=-1),
+        )
+        slot_state = permute_slot_state(slot_state, perm, cap,
+                                        fills=opt.fills if opt else None)
+        return new_state, slot_state, int(idx.shape[0])
+
+    def export_tier(self, since=None):
+        """(keys, payload rows) for the checkpoint saver's __tier__ table.
+        ``since`` (incremental save) filters to rows demoted since the
+        last save — tracked as an exact key set, so light-layout tiered
+        tables get true deltas too. Clears the window (this save is its
+        boundary)."""
+        if self.tier_store is None or len(self.tier_store) == 0:
+            self._tier_since_save.clear()
+            return None
+        keys, rows = self.tier_store.export()
+        if since is not None:
+            if self._tier_since_save:
+                sel = np.isin(keys, np.fromiter(self._tier_since_save,
+                                                np.int64,
+                                                len(self._tier_since_save)))
+                keys, rows = keys[sel], rows[sel]
+            else:
+                keys = keys[:0]
+                rows = rows[:0]
+        self._tier_since_save.clear()
+        if not len(keys):
+            return None
+        return keys, rows
+
+    def import_tier(self, keys: np.ndarray, rows: np.ndarray):
+        """Restore demoted rows into the host tier (lazily created at the
+        restored payload width)."""
+        if self.tier_store is None:
+            self.tier_store = self._make_tier(rows.shape[1])
+        self.tier_store.upsert(keys, rows)
+
+    def host_tier_rows(self) -> int:
+        return len(self.tier_store) if self.tier_store is not None else 0
+
     def readonly_rows(self, state, cats):
         """Eval path: missing keys read their deterministic would-be init
         (KvResourceGather default_value semantics)."""
@@ -329,6 +607,14 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         defaults = ev.init_rows(cfg, r.ukeys).astype(rows.dtype)
         valid = ~K.is_empty(r.ukeys)
         rows = jnp.where((found | ~valid)[:, None], rows, defaults)
+        if isinstance(cats, ResolvedWire) and cats.promo is not None:
+            # tier-demoted keys read their SAVED rows (readonly resolve:
+            # no mutation — the payload patches the gathered rows only;
+            # decode already marked these lanes found)
+            lanes, payload = cats.promo
+            rows = rows.at[lanes].set(
+                payload[:, : cfg.embedding_dim].astype(rows.dtype),
+                mode="drop")
         return aux, rows
 
     # -- growth -----------------------------------------------------------
@@ -377,7 +663,8 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         view.__dict__.update({k: v for k, v in self.__dict__.items()
                               if not k.startswith("_resolver")
                               and k not in ("_last_cap_ovf", "_sat_steps",
-                                            "_max_nu")})
+                                            "_max_nu", "tier_store",
+                                            "_tier_since_save", "_tiered")})
         return view
 
     def host_health(self) -> Dict[str, int]:
@@ -470,6 +757,8 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         from .checkpoint.saver import last_wins_sel, needed_capacity
         if num_shards != 1:
             raise NotImplementedError("host-index tables are unsharded")
+        self.tier_store = None          # tier rebuilt by the saver's
+        self._tier_since_save = set()   # import_tier pass after this
         cfg = self.config
         parts = [p for p in parts if "keys" in p]
         all_keys = np.concatenate([p["keys"] for p in parts])

@@ -106,11 +106,13 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="host-index fast path: the key->slot index lives "
                         "in the C++ HostIndexResolver, pipelined with the "
                         "device step (no on-device dedup/probe; ~1.5x "
-                        "throughput, bit-exact). With --mesh this is the "
-                        "host-SHARDED engine (single-controller meshes: "
-                        "the host resolves the whole exchange; no id "
-                        "all_to_all). Falls back to the device engine "
-                        "for tiered / multi-process / microbatch configs")
+                        "throughput, bit-exact), including tiered "
+                        "--ev_storage configs (promotion rides the resolve "
+                        "wire). With --mesh this is the host-SHARDED "
+                        "engine (single-controller meshes: the host "
+                        "resolves the whole exchange; no id all_to_all). "
+                        "Falls back to the device engine for multi-process "
+                        "/ mesh-tiered / mesh-microbatch configs")
     p.add_argument("--max_unique_ratio", type=float, default=0.25,
                    help="static dedup-width cap as a fraction of the flat "
                         "id width (0 = exact dedup; see ops/unique.py)")
@@ -164,8 +166,9 @@ def collection_cls(args):
     if not getattr(args, "host_index", False):
         return fc.EmbeddingCollection
     reasons = []
-    if getattr(args, "ev_storage", "hbm") != "hbm":
-        reasons.append(f"--ev_storage {args.ev_storage}")
+    if getattr(args, "mesh", 0) and getattr(args, "ev_storage",
+                                            "hbm") != "hbm":
+        reasons.append(f"--mesh with --ev_storage {args.ev_storage}")
     if getattr(args, "mesh", 0) and getattr(args, "micro_batch", 1) > 1:
         reasons.append("--mesh with --micro_batch")
     import jax
@@ -300,6 +303,12 @@ def run(spec: ModelSpec, args) -> dict:
     from ..config import StorageType
     tiered = any(c.config.storage.storage_type is not StorageType.HBM
                  for c in spec.collections.values())
+    # host-index collections tier THEMSELVES (resolve-wire promotion +
+    # fence-point compaction, host_index.py) — plain Trainer drives them;
+    # TieredTrainer is the device-index engine's tier manager
+    device_tiered = tiered and not all(
+        hasattr(c, "demote_cold") for c in spec.collections.values()
+        if c.config.storage.storage_type is not StorageType.HBM)
     if args.mesh:
         if tiered:
             from ..parallel.tiered import TieredShardedTrainer
@@ -308,7 +317,7 @@ def run(spec: ModelSpec, args) -> dict:
         else:
             tr = ShardedTrainer(mesh=make_mesh(args.mesh),
                                 microbatches=args.micro_batch, **common)
-    elif tiered:
+    elif device_tiered:
         from .tiered_trainer import TieredTrainer
         tr = TieredTrainer(microbatches=args.micro_batch, **common)
     else:
@@ -343,6 +352,7 @@ def run(spec: ModelSpec, args) -> dict:
         demote_steps = args.demote_steps or (
             args.ev_evict_steps // 2 if args.ev_evict_steps
             else 10 * args.log_steps)
+    if device_tiered:
         prepare = lambda b: (tr.prepare_batch(b), tr.prepare_probe(b))
     host_colls = {n: c for n, c in tr.collections.items()
                   if hasattr(c, "pack_ids_eval")}  # host-index tables
@@ -380,13 +390,14 @@ def run(spec: ModelSpec, args) -> dict:
                     c, c.total_width * max(1, v.shape[1] // tr.S))
                 cats[n] = c.sharded_pack(v, tr.S, cap, tr.mesh, tr.axis)
             return dense, cats, labels
-    elif host_colls and not tiered and not args.mesh:
+    elif host_colls and not device_tiered and not args.mesh:
         # the host-index RESOLVE mutates the key index and must run
-        # single-threaded in step order — prefetch workers do only the
-        # pure-numpy packing (the packed ids stay HOST-side: the custom
-        # device_put below skips them); the cheap resolve (~2.6 ms)
-        # happens on the main thread right before dispatch (finish),
-        # overlapped with the device executing the previous step
+        # single-threaded in step order, and the H2D transfer BLOCKS its
+        # calling thread — so the production loop runs the full
+        # HostStepPipeline (train/pipeline.py): prefetch workers do only
+        # pure-numpy packing; a dedicated resolve thread indexes step N+2
+        # while the H2D thread ships step N+1 and the device executes
+        # step N; the main thread only dispatches jitted steps
         from ..feature_column import pack_dense as _pd
 
         def prepare(b):
@@ -399,14 +410,15 @@ def run(spec: ModelSpec, args) -> dict:
             return (dense, dev_cats, labels), host_np
 
         def staged_put(item):
-            dev, host_np = item
-            return jax.device_put(dev), host_np
+            return item  # all H2D happens on the pipeline transfer thread
 
         def finish(p):
+            """Pipeline resolve stage: step-order index mutation, host
+            (numpy) wire buffers — the transfer stage device_puts them."""
             (dense, dev_cats, labels), host_np = p
             cats = dict(dev_cats)
             for n, v in host_np.items():
-                cats[n] = host_colls[n].pack_ids(v)
+                cats[n] = host_colls[n].pack_ids_host(v)
             return dense, cats, labels
 
     def run_eval():
@@ -422,73 +434,111 @@ def run(spec: ModelSpec, args) -> dict:
     done = 0
     eval_secs = 0.0
     last_health = {}
+
+    def fence_work(state, packed, done):
+        """Everything that happens at a device fence: metrics read (the
+        fence itself), checkpoint timers, growth, health watchdog,
+        periodic eval, demotion. For the pipelined host-index loop this
+        runs only with the pipeline DRAINED (resolver == device state)."""
+        nonlocal last_health, eval_secs
+        # summarize() reads device scalars -> this is the loop's
+        # device fence: python dispatch races ahead of execution
+        # otherwise (async dispatch), which would make wall-clock
+        # checkpoint timers fire against dispatched, not completed,
+        # steps. Saves therefore also happen here, at fence points.
+        m = M.summarize(state.metrics)
+        dt = time.perf_counter() - t0
+        eps = done * args.batch_size / dt
+        print(f"step {int(state.step)}  loss={m['loss']:.5f}  "
+              f"auc={m['auc']:.4f}  "
+              f"({eps:.0f} ex/s)")
+        if writer:
+            writer.write(int(state.step), m, examples_per_sec=eps)
+        if mgr is not None:
+            mgr.maybe_save(tr, state)
+        if hasattr(tr, "maybe_grow"):
+            # capacity growth check (DenseHashMap resize analog):
+            # a saturated table silently routes new keys to the
+            # null row otherwise
+            grown = tr.maybe_grow(state)
+            if grown is not state:
+                print(f"table growth at step {int(grown.step)}: "
+                      + ", ".join(
+                          f"{n}->{c.config.capacity}"
+                          for n, c in tr.collections.items()))
+                state = grown
+            elif not args.mesh and args.jit_cache:
+                # compile-ahead: tables past 0.5 load warm the
+                # persistent cache with the 2x-capacity step so
+                # the growth fence pays deserialize, not compile
+                warmed = tr.prewarm_grow(state, packed)
+                if warmed:
+                    print(f"prewarming grown-step compile: {warmed}")
+        # silent-degradation watchdog: bucket drops / dedup-cap
+        # saturation are invisible in the loss until quality rots
+        last_health = _check_health(tr, state, writer, last_health)
+        if args.eval_every and done % args.eval_every < args.log_steps \
+                and done >= args.eval_every:
+            te = time.perf_counter()
+            em = run_eval()
+            eval_secs += time.perf_counter() - te
+            print(f"eval @ step {int(state.step)}: "
+                  f"auc={em['auc']:.4f} acc={em['accuracy']:.4f}")
+            if writer:
+                writer.write(int(state.step), em, phase="eval")
+        if demote_steps and (done // args.log_steps) % max(
+                demote_steps // args.log_steps, 1) == 0:
+            state = tr.maybe_demote(state)
+            rows = {n: tr.host_tier_rows(n) for n in tr.tiers}
+            if any(rows.values()):
+                print("host tier rows: " + ", ".join(
+                    f"{n}={c}" for n, c in rows.items()))
+                if writer:
+                    writer.write(int(state.step), rows, phase="tier")
+        return state
+
     import itertools
     stream = itertools.chain([first], train_it)
+    use_pipeline = bool(host_colls) and not device_tiered and not args.mesh
     with staged(itertools.islice(stream, args.steps), prepare=prepare,
                 depth=args.prefetch_depth, workers=args.prefetch_workers,
                 device_put=staged_put) as pf:
-        for packed in pf:
-            if tiered:
-                packed, probe = packed
-                state = tr.promote_packed(state, probe)
-            packed = finish(packed)
-            state = tr._jit_train(state, *packed)
-            done += 1
-            if done % args.log_steps == 0:
-                # summarize() reads device scalars -> this is the loop's
-                # device fence: python dispatch races ahead of execution
-                # otherwise (async dispatch), which would make wall-clock
-                # checkpoint timers fire against dispatched, not completed,
-                # steps. Saves therefore also happen here, at fence points.
-                m = M.summarize(state.metrics)
-                dt = time.perf_counter() - t0
-                eps = done * args.batch_size / dt
-                print(f"step {int(state.step)}  loss={m['loss']:.5f}  "
-                      f"auc={m['auc']:.4f}  "
-                      f"({eps:.0f} ex/s)")
-                if writer:
-                    writer.write(int(state.step), m, examples_per_sec=eps)
-                if mgr is not None:
-                    mgr.maybe_save(tr, state)
-                if hasattr(tr, "maybe_grow"):
-                    # capacity growth check (DenseHashMap resize analog):
-                    # a saturated table silently routes new keys to the
-                    # null row otherwise
-                    grown = tr.maybe_grow(state)
-                    if grown is not state:
-                        print(f"table growth at step {int(grown.step)}: "
-                              + ", ".join(
-                                  f"{n}->{c.config.capacity}"
-                                  for n, c in tr.collections.items()))
-                        state = grown
-                    elif not args.mesh and args.jit_cache:
-                        # compile-ahead: tables past 0.5 load warm the
-                        # persistent cache with the 2x-capacity step so
-                        # the growth fence pays deserialize, not compile
-                        warmed = tr.prewarm_grow(state, packed)
-                        if warmed:
-                            print(f"prewarming grown-step compile: {warmed}")
-                # silent-degradation watchdog: bucket drops / dedup-cap
-                # saturation are invisible in the loss until quality rots
-                last_health = _check_health(tr, state, writer, last_health)
-                if args.eval_every and done % args.eval_every < args.log_steps \
-                        and done >= args.eval_every:
-                    te = time.perf_counter()
-                    em = run_eval()
-                    eval_secs += time.perf_counter() - te
-                    print(f"eval @ step {int(state.step)}: "
-                          f"auc={em['auc']:.4f} acc={em['accuracy']:.4f}")
-                    if writer:
-                        writer.write(int(state.step), em, phase="eval")
-                if demote_steps and (done // args.log_steps) % max(
-                        demote_steps // args.log_steps, 1) == 0:
-                    state = tr.maybe_demote(state)
-                    rows = {n: tr.host_tier_rows(n) for n in tr.tiers}
-                    if any(rows.values()):
-                        print("host tier rows: " + ", ".join(
-                            f"{n}={c}" for n, c in rows.items()))
-                        if writer:
-                            writer.write(int(state.step), rows, phase="tier")
+        if use_pipeline:
+            from .pipeline import HostStepPipeline
+            pf_it = iter(pf)
+            last_args = None
+            with HostStepPipeline(finish,
+                                  depth=max(2, args.prefetch_depth)) as pipe:
+                exhausted = False
+                while not exhausted or len(pipe):
+                    while not exhausted and len(pipe) < pipe.depth:
+                        try:
+                            pipe.feed(next(pf_it))
+                        except StopIteration:
+                            exhausted = True
+                    if not len(pipe):
+                        break
+                    last_args = pipe.take()
+                    state = tr._jit_train(state, *last_args)
+                    done += 1
+                    if done % args.log_steps == 0:
+                        # drain in-flight steps so fence work (save/grow/
+                        # eval/health) sees resolver == device state
+                        while len(pipe):
+                            last_args = pipe.take()
+                            state = tr._jit_train(state, *last_args)
+                            done += 1
+                        state = fence_work(state, last_args, done)
+        else:
+            for packed in pf:
+                if device_tiered:
+                    packed, probe = packed
+                    state = tr.promote_packed(state, probe)
+                packed = finish(packed)
+                state = tr._jit_train(state, *packed)
+                done += 1
+                if done % args.log_steps == 0:
+                    state = fence_work(state, packed, done)
     jax.block_until_ready(state.step)
     train_secs = time.perf_counter() - t0 - eval_secs
 

@@ -172,9 +172,17 @@ class Trainer:
         new_tables = {}
         auxs = {}
         for name, coll in self.collections.items():
-            ev_state, aux = coll.lookup_or_create(tables[name].ev, cats[name], step)
-            health = _bump_health(tables[name].health, coll, aux)
-            new_tables[name] = tables[name]._replace(ev=ev_state, health=health)
+            bundle = tables[name]
+            promo = getattr(coll, "apply_promo", None)
+            if promo is not None:
+                # host-index tiered tables: scatter tier-promoted rows
+                # (resolved host-side one step ahead) before the lookup's
+                # metadata writes — zero extra dispatches (host_index.py)
+                ev_state, slot = promo(bundle.ev, bundle.slot, cats[name])
+                bundle = bundle._replace(ev=ev_state, slot=slot)
+            ev_state, aux = coll.lookup_or_create(bundle.ev, cats[name], step)
+            health = _bump_health(bundle.health, coll, aux)
+            new_tables[name] = bundle._replace(ev=ev_state, health=health)
             auxs[name] = aux
         return new_tables, auxs
 
@@ -321,6 +329,62 @@ class Trainer:
         capacity growth at runtime or at checkpoint restore)."""
         self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_step, donate_argnums=(1,))
+
+    # -- host-index tiered tables (collection-owned tiers) -----------------
+    # TieredTrainer (device-index engine) overrides all of these with its
+    # trainer-owned tier stores; here they delegate to collections that
+    # manage their own host tier (host_index.HostIndexEmbeddingCollection
+    # with a non-HBM StorageOption), so the CLI/soak/saver drive both
+    # engines through one surface.
+    @property
+    def tiers(self):
+        if getattr(self, "_tiers_override", None) is not None:
+            return self._tiers_override
+        return {n: getattr(c, "tier_store", None)
+                for n, c in self.collections.items()
+                if getattr(c, "_tiered", False)}
+
+    @tiers.setter
+    def tiers(self, value):
+        self._tiers_override = value
+
+    def maybe_demote(self, state: TrainState) -> TrainState:
+        """Demotion sweep for collection-owned tiers. Call at FENCE points
+        only (with any HostStepPipeline drained — demotion renumbers
+        slots)."""
+        tables = dict(state.tables)
+        changed = False
+        gs = int(state.step)
+        for name, coll in self.collections.items():
+            fn = getattr(coll, "demote_cold", None)
+            if fn is None or not getattr(coll, "_tiered", False):
+                continue
+            b = tables[name]
+            new_ev, slot, nd = fn(b.ev, b.slot, gs,
+                                  opt=self.sparse_optimizers.get(name))
+            if nd:
+                tables[name] = b._replace(ev=new_ev, slot=slot)
+                changed = True
+        return state._replace(tables=tables) if changed else state
+
+    def export_tiers(self, state, since=None):
+        out = {}
+        for name, coll in self.collections.items():
+            fn = getattr(coll, "export_tier", None)
+            if fn is not None:
+                r = fn(since=since)
+                if r is not None:
+                    out[name] = r
+        return out
+
+    def import_tier(self, name: str, keys, rows):
+        fn = getattr(self.collections.get(name), "import_tier", None)
+        if fn is not None:
+            fn(keys, rows)
+
+    def host_tier_rows(self, name: str) -> int:
+        fn = getattr(self.collections.get(name), "host_tier_rows", None)
+        return fn() if fn is not None else 0
 
     def prewarm_grow(self, state: TrainState, packed_args,
                      threshold: float = 0.5,

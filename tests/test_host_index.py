@@ -381,9 +381,18 @@ def test_estimator_with_host_index(tmp_path):
 def test_host_unsupported_configs_raise():
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn("a"), 4)]
     from deeprec_tpu.config import StorageOption, StorageType
+    import deeprec_tpu as dr
+    # tiered storage IS supported (round 5); the one justified rejection
+    # is CBF admission on a tiered table (the bloom gate would deny a
+    # returning demoted key its slot — see host_index.py __init__)
+    coll_t = HostIndexEmbeddingCollection(
+        cols, capacity=64,
+        storage=StorageOption(storage_type=StorageType.HBM_DRAM))
+    assert coll_t._tiered
     with pytest.raises(NotImplementedError):
         HostIndexEmbeddingCollection(
             cols, capacity=64,
+            cbf_filter=dr.CBFFilter(filter_freq=2, max_element_size=1024),
             storage=StorageOption(storage_type=StorageType.HBM_DRAM))
     coll = HostIndexEmbeddingCollection(cols, capacity=64)
     with pytest.raises(NotImplementedError):

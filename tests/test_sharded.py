@@ -122,14 +122,18 @@ def test_sharded_training_lifts_auc():
         model, numeric, {"emb": coll},
         {"emb": sopt.sparse_adagrad(0.5, initial_accumulator_value=0.01)},
         optax.adam(3e-3), mesh=make_mesh())
-    batches = _batches(120)
+    # 240 steps, window = the last 120: the guide-table zipf sampler
+    # (data/criteo.py) draws a slightly different concrete stream than the
+    # old rejection sampler; this config crosses 0.55 between steps 120
+    # and 180 (0.516@60 -> 0.534@120 -> 0.557@180 -> 0.574@240)
+    batches = _batches(240)
     state = tr.init(jax.random.key(0), batches[0])
     for i, b in enumerate(batches):
         state = tr.train_step(state, b)
-        if i == 59:
+        if i == 119:
             state = tr.reset_metrics(state)
     s = metrics_lib.summarize(state.metrics)
-    assert s["examples"] == 60 * 256
+    assert s["examples"] == 120 * 256
     assert s["auc"] > 0.55, s
 
     m = metrics_lib.create()
