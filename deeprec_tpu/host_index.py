@@ -467,7 +467,7 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
             from .utils.native import TierStack
             path = st.ssd_path or os.path.join(
                 tempfile.gettempdir(),
-                f"deeprec_hidx_ssd_{self.name}_{os.getpid()}.arena")
+                f"deeprec_hidx_ssd_{self.config.name}_{os.getpid()}.arena")
             # version col inside the payload: values block, freq, THEN
             # version (tier_payload layout)
             vcol = self.config.embedding_dim \

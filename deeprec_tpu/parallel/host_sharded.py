@@ -24,15 +24,21 @@ freq increments, bucket-overflow drops counted in health, the 4-array
 checkpoint format routed by the same owner hash (OWNER_SEED) so saves
 reshard into any engine at any shard count.
 
-NOT for multi-process meshes: a process would need the other hosts'
-indices to assign slots. Multi-host pods keep the device-index engine
-(`parallel/sharded.py`); this class refuses a multi-process mesh.
+Multi-process meshes (round 5): each process's resolvers own the table
+shards of its LOCAL devices, and the requester buckets routed to remote
+shards ride a host-to-host all-to-all (`parallel/host_exchange.py`, one
+TCP frame per peer per step over the cluster the job already stands on)
+— ids travel HOST-side, one step ahead, and the device program stays
+identical (gathers + the rows all_to_all). A soft one-step-ahead
+deadline is tracked as ``exchange_late_steps`` in host_health; late
+frames still complete the step correctly (correctness over the
+deadline; the CLI watchdog surfaces the misses).
 
 Reference lineage: this is the PS architecture with the PS update
 *pre-computed*: DeepRec's workers RPC ids to parameter servers whose CPU
-hash maps resolve them mid-step (dense_hash_map.h; star_server pull/push)
-— here the single controller IS the parameter-server CPU for all shards,
-one step ahead of the devices.
+hash maps resolve them mid-step (dense_hash_map.h; star_server pull/push
+— star_worker_service.h:60-61) — here every process is the
+parameter-server CPU for its own shards, one step ahead of the devices.
 """
 from __future__ import annotations
 
@@ -142,40 +148,66 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
         self._shard_resolvers: Optional[List[HostIndexResolver]] = None
         self._dedup_resolvers: Optional[List[HostIndexResolver]] = None
         self._S = None
+        self._S_local = None   # shards/devices owned by THIS process
+        self._lo = 0           # first global shard id owned here
+        self._nproc = 1
+        self._pid = 0
+        self._hx = None        # HostBucketExchange on multi-process meshes
         self._hs_dropped = 0   # cumulative host-side health counters
-        self._hs_sat = 0
+        self._hs_sat = 0       # (per-PROCESS on multi-process meshes)
         self._hs_cap_ovf_seen = 0
 
     # -- host side ---------------------------------------------------------
-    def _ensure_shards(self, S: int):
-        if jax.process_count() != 1:
-            raise NotImplementedError(
-                "HostShardedCollection needs the single-controller view of "
-                "every batch shard; multi-process meshes use the "
-                "device-index EmbeddingCollection")
+    def _ensure_shards(self, S: int, mesh=None, axis=None):
         if self._S not in (None, S):
             raise ValueError(f"mesh size changed {self._S} -> {S}")
         if self._shard_resolvers is None:
             self._S = S
+            self._nproc = jax.process_count()
+            self._pid = jax.process_index()
+            if self._nproc > 1:
+                # per-process resolvers own the LOCAL shards; requester
+                # buckets for remote shards ride the host exchange one
+                # step ahead (the StarServer pull/push role,
+                # star_worker_service.h:60-61)
+                from .multihost import local_shard_range
+                assert mesh is not None, "first pack must pass the mesh"
+                self._lo, hi = local_shard_range(mesh, axis, S)
+                self._S_local = hi - self._lo
+                from .host_exchange import HostBucketExchange
+                self._hx = HostBucketExchange(tag=f"hs-{self.config.name}")
+            else:
+                self._S_local = S
             ng = self._resolver.n_groups
+            SL = self._S_local
             self._shard_resolvers = [HostIndexResolver(n_groups=ng)
-                                     for _ in range(S)]
+                                     for _ in range(SL)]
             # requester-side pure dedupers: row_capacity=0 keeps every key
             # PENDING forever — we use only the batch-local lanes/inverse
             self._dedup_resolvers = [HostIndexResolver(n_groups=ng)
-                                     for _ in range(S)]
+                                     for _ in range(SL)]
 
     def sharded_pack(self, batch, S: int, bucket_cap: int, mesh, axis,
                      train: bool = True) -> HostShardedWire:
         """The whole exchange, resolved on host: returns the stacked
-        per-device wire (row-sharded over the mesh axis)."""
+        per-device wire (row-sharded over the mesh axis).
+
+        Single-controller meshes resolve everything locally. On a
+        multi-process mesh each process packs only its LOCAL devices'
+        batch slice, ships the buckets routed to remote shards over the
+        host exchange (one frame per peer), resolves its OWN shards'
+        receive sets, and contributes its local rows of the global wire
+        (multihost.globalize) — devices still see the identical program.
+        """
         from .multihost import globalize
-        from jax.sharding import PartitionSpec as P
-        self._ensure_shards(S)
+        from jax.sharding import PartitionSpec as P2
+        self._ensure_shards(S, mesh, axis)
+        SL = self._S_local
+        lo = self._lo
         packed = batch if isinstance(batch, np.ndarray) \
-            else self.pack_ids_np(batch)            # [W, B_global]
+            else self.pack_ids_np(batch)            # [W, B_local]
         W, B = packed.shape
-        Bl = B // S
+        Bl = B // SL
         Nl = W * Bl
         cap = self.config.capacity
         Uc = (self.config.max_unique + 1 if self.config.max_unique
@@ -184,14 +216,14 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
         C = int(bucket_cap)
         SC = S * C
 
-        send_keys = np.full((S, S, C), -1, np.int64)
-        send_counts = np.zeros((S, S, C), np.int32)
-        req_inv = np.empty((S, Nl), np.int32)
-        req_uidx = np.full((S, Uc), -1, np.int32)
-        dropped = np.zeros((S,), np.int32)
-        sat = np.zeros((S,), np.int32)
+        send_keys = np.full((SL, S, C), -1, np.int64)
+        send_counts = np.zeros((SL, S, C), np.int32)
+        req_inv = np.empty((SL, Nl), np.int32)
+        req_uidx = np.full((SL, Uc), -1, np.int32)
+        dropped = np.zeros((SL,), np.int32)
+        sat = np.zeros((SL,), np.int32)
 
-        for d in range(S):
+        for d in range(SL):
             ids_d = packed[:, d * Bl:(d + 1) * Bl].reshape(-1)
             uk, _us, inv, _cr, ct, nu, nov = self._dedup_resolvers[d].resolve(
                 ids_d, Uc, 0, 0)  # row_capacity=0: dedup only
@@ -211,23 +243,58 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
             send_counts[d, ro, rp] = ct[routed]
             req_uidx[d] = np.where(routed, own * C + pos, -1)
 
-        owner_hi = np.empty((S, Ur), np.int32)
-        owner_lo = np.empty((S, Ur), np.int32)
-        owner_slots = np.empty((S, Ur), np.int32)
-        owner_pc = np.empty((S, Ur), np.int32)
-        owner_inv = np.empty((S, SC), np.int32)
-        owner_nov = np.zeros((S,), np.int32)
-        for o in range(S):
-            recv = send_keys[:, o, :].reshape(-1)          # [S*C]
-            rc = send_counts[:, o, :].reshape(-1)
+        # receive sets for the LOCAL shards: [SL owners, S requesters, C],
+        # requester rows in GLOBAL device order (bit-parity with the
+        # single-controller resolve order)
+        if self._nproc > 1:
+            blobs = []
+            for q in range(self._nproc):
+                if q == self._pid:
+                    blobs.append(b"")
+                    continue
+                kq = np.ascontiguousarray(
+                    send_keys[:, q * SL:(q + 1) * SL, :])
+                cq = np.ascontiguousarray(
+                    send_counts[:, q * SL:(q + 1) * SL, :])
+                blobs.append(kq.tobytes() + cq.tobytes())
+            recvs = self._hx.all_to_all(blobs)
+            recv_keys = np.full((SL, S, C), -1, np.int64)
+            recv_counts = np.zeros((SL, S, C), np.int32)
+            recv_keys[:, lo:lo + SL] = \
+                send_keys[:, lo:lo + SL].transpose(1, 0, 2)
+            recv_counts[:, lo:lo + SL] = \
+                send_counts[:, lo:lo + SL].transpose(1, 0, 2)
+            nk = SL * SL * C * 8
+            for q in range(self._nproc):
+                if q == self._pid:
+                    continue
+                kq = np.frombuffer(recvs[q][:nk],
+                                   np.int64).reshape(SL, SL, C)
+                cq = np.frombuffer(recvs[q][nk:],
+                                   np.int32).reshape(SL, SL, C)
+                recv_keys[:, q * SL:(q + 1) * SL] = kq.transpose(1, 0, 2)
+                recv_counts[:, q * SL:(q + 1) * SL] = cq.transpose(1, 0, 2)
+        else:
+            recv_keys = send_keys.transpose(1, 0, 2)
+            recv_counts = send_counts.transpose(1, 0, 2)
+
+        owner_hi = np.empty((SL, Ur), np.int32)
+        owner_lo = np.empty((SL, Ur), np.int32)
+        owner_slots = np.empty((SL, Ur), np.int32)
+        owner_pc = np.empty((SL, Ur), np.int32)
+        owner_inv = np.empty((SL, SC), np.int32)
+        owner_nov = np.zeros((SL,), np.int32)
+        for o in range(SL):
+            recv = recv_keys[o].reshape(-1)                # [S*C]
+            rc = recv_counts[o].reshape(-1)
             uk, us, inv, cr, _ct, nu, nov = self._shard_resolvers[o].resolve(
                 recv, Ur, cap, cap, readonly=not train)
             # freq increments = per-requester multiplicities summed per
             # owner lane (reference AddFreq(count) semantics)
             freq = np.bincount(inv, weights=rc,
                                minlength=Ur)[:Ur].astype(np.int32)
-            hi, lo = K.split_np(uk)
-            owner_hi[o], owner_lo[o] = hi, lo
+            hi, lo32 = K.split_np(uk)
+            owner_hi[o], owner_lo[o] = hi, lo32
             owner_slots[o] = us
             owner_pc[o] = freq | (cr.astype(np.int32) << 30)
             owner_inv[o] = inv
@@ -237,7 +304,7 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
             self._hs_sat += int(sat.max())
 
         Ktot = Nl + Uc + 4 * Ur + SC + 4
-        wire = np.empty((S, Ktot), np.int32)
+        wire = np.empty((SL, Ktot), np.int32)
         o = 0
         wire[:, o:o + Nl] = req_inv; o += Nl
         wire[:, o:o + Uc] = req_uidx; o += Uc
@@ -250,7 +317,6 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
         wire[:, o + 1] = owner_nov
         wire[:, o + 2] = 0 if train else 1
         wire[:, o + 3] = 0
-        from jax.sharding import PartitionSpec as P2
         buf = globalize(mesh, P2(axis, None), wire)
         return HostShardedWire(buf, Nl, Uc, Ur, SC)
 
@@ -364,13 +430,18 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
         sizes = [r.size for r in self._shard_resolvers]
         cap_ovf = sum(r.stats()[1] for r in self._shard_resolvers)
         uniq_ovf = sum(r.stats()[2] for r in self._shard_resolvers)
-        return {"size": int(sum(sizes)), "capacity": self.config.capacity,
-                "shards": len(sizes),
-                "load_factor": max(sizes) / self.config.capacity,
-                "overflow": cap_ovf, "dropped": self._hs_dropped,
-                "unique_saturated_steps": self._hs_sat,
-                "max_n_unique": 0, "unique_overflow": uniq_ovf,
-                "max_unique": self.config.max_unique}
+        out = {"size": int(sum(sizes)), "capacity": self.config.capacity,
+               "shards": len(sizes),
+               "load_factor": max(sizes) / self.config.capacity,
+               "overflow": cap_ovf, "dropped": self._hs_dropped,
+               "unique_saturated_steps": self._hs_sat,
+               "max_n_unique": 0, "unique_overflow": uniq_ovf,
+               "max_unique": self.config.max_unique}
+        if self._hx is not None:
+            # one-step-ahead deadline misses of the host bucket exchange
+            # (soft: the step still completed correctly, just late)
+            out["exchange_late_steps"] = self._hx.late_steps
+        return out
 
     # -- growth --------------------------------------------------------------
     def sharded_needs_growth(self, threshold: float = 0.9) -> bool:
@@ -403,15 +474,19 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
     # -- checkpoint ----------------------------------------------------------
     def ckpt_arrays(self, bundle, num_shards, since, evict, global_step):
         from ..checkpoint import format as F
+        from .multihost import addressable_blocks
         if self._shard_resolvers is None or num_shards == 1:
             return super().ckpt_arrays(bundle, 1, since, evict, global_step)
         S = num_shards
         cfg = self.config
         cap1 = cfg.capacity + 1
-        vals = np.asarray(bundle.ev.values)
-        freqs = np.asarray(bundle.ev.freqs)
-        vers = np.asarray(bundle.ev.versions)
-        cs = np.asarray(bundle.ev.create_steps)
+        # host views per GLOBAL shard id — every shard single-process,
+        # only this process's shards on a multi-process mesh (each
+        # process writes its own checkpoint parts, saver._mp)
+        vals = addressable_blocks(bundle.ev.values, S, cap1)
+        freqs = addressable_blocks(bundle.ev.freqs, S, cap1)
+        vers = addressable_blocks(bundle.ev.versions, S, cap1)
+        cs = addressable_blocks(bundle.ev.create_steps, S, cap1)
         slot_leaves = list(F.slot_leaf_names(bundle.slot))
 
         if since is not None and not cfg.version_tracked:
@@ -425,14 +500,14 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
                                      "create_steps")}
         slot_parts: Dict[str, list] = {}
         scalars = {}
-        for s in range(S):
-            n = self._shard_resolvers[s].size
-            keys = self._shard_resolvers[s].export_keys()
-            base = s * cap1
-            v = vals[base:base + n]
-            f = freqs[base:base + n]
-            ve = vers[base:base + n]
-            c = cs[base:base + n]
+        for s in sorted(vals):
+            r = self._shard_resolvers[s - self._lo]
+            n = r.size
+            keys = r.export_keys()
+            v = vals[s][:n]
+            f = freqs[s][:n]
+            ve = vers[s][:n]
+            c = cs[s][:n]
             live = np.ones((n,), bool)
             if evict and cfg.evict is not None and global_step is not None:
                 live &= ~ev.cold_mask_np(cfg, v, ve, live, global_step)
@@ -446,8 +521,9 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
             out_parts["create_steps"].append(c[idx])
             for name, leaf in slot_leaves:
                 if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == S * cap1:
+                    blocks = addressable_blocks(leaf, S, cap1)
                     slot_parts.setdefault(f"slot__{name}", []).append(
-                        np.asarray(leaf[base:base + n])[idx])
+                        blocks[s][:n][idx])
                 else:
                     scalars[f"scalar__{name}"] = np.asarray(leaf)
         out = {k: np.concatenate(v) for k, v in out_parts.items()}
@@ -462,7 +538,8 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
         S = num_shards
         if S == 1:
             return super().ckpt_restore(trainer, template, parts, 1)
-        self._ensure_shards(S)
+        self._ensure_shards(S, getattr(trainer, "mesh", None),
+                            getattr(trainer, "axis", None))
         cfg = self.config
         parts = [p for p in parts if "keys" in p]
         all_keys = np.concatenate([p["keys"] for p in parts])
@@ -499,7 +576,11 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
         for s in range(S):
             idx = np.nonzero(own == s)[0]
             n = idx.shape[0]
-            self._shard_resolvers[s].load_keys(keys[idx])
+            if self._lo <= s < self._lo + self._S_local:
+                # every process computes every shard's host state (the
+                # stacking rule materialises only addressable shards);
+                # each loads keys only into the resolvers it OWNS
+                self._shard_resolvers[s - self._lo].load_keys(keys[idx])
 
             def dense(src, fill, dtype, extra=()):
                 out = np.full((cap + 1,) + extra, fill, dtype)

@@ -199,10 +199,12 @@ class ShardedTrainer:
                 first = coll.columns[0].categorical.name
                 b_local = np.asarray(batch[first]).shape[0]
             # per-DEVICE flat width (matches _sparse_forward's in-shard
-            # computation: ids2d is [W, B/S] inside shard_map). Only
-            # host-sharded collections consume this; single-process there,
-            # so b_local IS the global batch.
-            cap = self._bucket_cap(coll, w * max(1, b_local // self.S))
+            # computation: ids2d is [W, B/S] inside shard_map). b_local is
+            # this PROCESS's batch slice, so divide by the LOCAL device
+            # count — identical per-device width (and so identical bucket
+            # cap) on every process and on the single-controller run.
+            s_local = max(1, self.S // jax.process_count())
+            cap = self._bucket_cap(coll, w * max(1, b_local // s_local))
             cats[name] = coll.sharded_pack(batch, self.S, cap, self.mesh,
                                            axis, train=train)
         labels = (globalize(self.mesh, P(axis),

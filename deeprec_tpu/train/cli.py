@@ -171,9 +171,6 @@ def collection_cls(args):
         reasons.append(f"--mesh with --ev_storage {args.ev_storage}")
     if getattr(args, "mesh", 0) and getattr(args, "micro_batch", 1) > 1:
         reasons.append("--mesh with --micro_batch")
-    import jax
-    if getattr(args, "mesh", 0) and jax.process_count() > 1:
-        reasons.append("--mesh across processes")
     if reasons:
         print(f"NOTE: --host_index unsupported with {', '.join(reasons)}; "
               "using the device-index engine")

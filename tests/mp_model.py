@@ -9,7 +9,7 @@ STEPS = 6
 CATS = ["C1", "C2"]
 
 
-def make_common(tiered=False):
+def make_common(tiered=False, host_index=False):
     import optax
 
     import deeprec_tpu as dr
@@ -28,9 +28,17 @@ def make_common(tiered=False):
                      cbf_filter=dr.CBFFilter(filter_freq=2,
                                              max_element_size=2048))
     cols = [fc.EmbeddingColumn(fc.CategoricalColumn(n), 8) for n in CATS]
-    coll = fc.EmbeddingCollection(
-        cols, name="emb", capacity=256,
-        initializer=dr.Initializer("normal", scale=0.1), **ev_kw)
+    if host_index:
+        # the host-resolved engine: per-process resolvers own the local
+        # shards; cross-process id buckets ride the host exchange
+        from deeprec_tpu.parallel.host_sharded import HostShardedCollection
+        coll = HostShardedCollection(
+            cols, name="emb", capacity=256, max_unique=64,
+            initializer=dr.Initializer("normal", scale=0.1), **ev_kw)
+    else:
+        coll = fc.EmbeddingCollection(
+            cols, name="emb", capacity=256,
+            initializer=dr.Initializer("normal", scale=0.1), **ev_kw)
     model = ctr.DCN(emb_names=CATS, cross_layers=1, deep_units=(16,))
     return dict(model=model, numeric_columns=[fc.NumericColumn("I1")],
                 collections={"emb": coll},

@@ -24,6 +24,7 @@ def main():
     ckpt_dir = sys.argv[5]
     out_json = sys.argv[6]
     tiered = "--tiered" in sys.argv
+    host_index = "--host_index" in sys.argv
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -54,7 +55,8 @@ def main():
         from deeprec_tpu.parallel.tiered import TieredShardedTrainer as TC
     else:
         TC = ShardedTrainer
-    tr = TC(mesh=make_mesh(), **make_common(tiered=tiered))
+    tr = TC(mesh=make_mesh(), **make_common(tiered=tiered,
+                                            host_index=host_index))
 
     # every process slices ITS rows of the deterministic global stream —
     # the per-worker input pipeline of the reference

@@ -37,7 +37,8 @@ def _free_port():
     return port
 
 
-def _spawn_cluster(tmp_path, nproc=2, dev_per=4, tiered=False, timeout=600):
+def _spawn_cluster(tmp_path, nproc=2, dev_per=4, tiered=False,
+                   host_index=False, timeout=600):
     port = _free_port()
     ckpt = str(tmp_path / "ckpt")
     outs = [str(tmp_path / f"out{p}.json") for p in range(nproc)]
@@ -47,7 +48,9 @@ def _spawn_cluster(tmp_path, nproc=2, dev_per=4, tiered=False, timeout=600):
     env["PYTHONPATH"] = REPO
     for p in range(nproc):
         args = [sys.executable, WORKER, str(p), str(nproc), str(port),
-                str(dev_per), ckpt, outs[p]] + (["--tiered"] if tiered else [])
+                str(dev_per), ckpt, outs[p]] \
+            + (["--tiered"] if tiered else []) \
+            + (["--host_index"] if host_index else [])
         procs.append(subprocess.Popen(
             args, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=REPO))
@@ -218,3 +221,79 @@ def test_two_process_tiered_cluster(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(st_r2.tables["emb"].ev.cbf),
         np.asarray(st_b2.tables["emb"].ev.cbf))
+
+
+def _snap_host_sharded(tr, state):
+    """Key-sorted table snapshot of a HostShardedCollection trainer (its
+    ckpt_arrays IS the standard 4-array format, keys from the per-shard
+    resolvers)."""
+    coll = tr.collections["emb"]
+    b = state.tables["emb"]
+    s = coll.ckpt_arrays(b, tr.S, None, False, int(state.step))
+    o = np.argsort(s["keys"])
+    nk = s["keys"].shape[0]
+    return {k: v[o] for k, v in s.items()
+            if getattr(v, "ndim", 0) >= 1 and v.shape[0] == nk}
+
+
+@pytest.mark.slow
+def test_two_process_host_sharded_matches_single_controller(tmp_path):
+    """Round-5 host-resolved sharding BEYOND one controller: 2 processes x
+    4 devices, per-process HostIndexResolvers owning the local shards,
+    requester id buckets exchanged host-to-host one step ahead
+    (parallel/host_exchange.py). Must equal the single-controller
+    host-sharded run bit-for-bit on metrics and tables — and its
+    multi-part checkpoint must restore into the DEVICE-index engine at a
+    different shard count (the cross-engine interchange contract)."""
+    from deeprec_tpu.utils.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    ckpt, outs, logs = _spawn_cluster(tmp_path, nproc=2, dev_per=4,
+                                      host_index=True)
+
+    # baseline: single-controller 8-device HOST-sharded run, same stream
+    from deeprec_tpu.parallel.trainer import ShardedTrainer, make_mesh
+    from deeprec_tpu.train import metrics as M
+    tr_b = ShardedTrainer(mesh=make_mesh(8), **make_common(host_index=True))
+    st_b = tr_b.init(jax.random.key(0), global_batch(0))
+    for i in range(STEPS):
+        st_b = tr_b.train_step(st_b, global_batch(i))
+    m_b = M.summarize(st_b.metrics)
+
+    for o in outs:
+        assert o["step"] == STEPS
+        assert o["count"] == STEPS * GLOBAL_BATCH
+        assert abs(o["loss"] - m_b["loss"]) < 1e-5, (o["loss"], m_b["loss"])
+        assert abs(o["auc"] - m_b["auc"]) < 1e-4
+        assert o["health"]["dropped"] == 0
+
+    # table equality: per-key values/freqs/versions/slot rows
+    sb = _snap_host_sharded(tr_b, st_b)
+    from deeprec_tpu.checkpoint import format as F
+    base, _ = F.restore_plan(ckpt)
+    mp_tab = F.read_table(base["path"], "emb")
+    o = np.argsort(mp_tab["keys"])
+    np.testing.assert_array_equal(sb["keys"], mp_tab["keys"][o])
+    np.testing.assert_allclose(sb["values"], mp_tab["values"][o],
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_array_equal(sb["freqs"], mp_tab["freqs"][o])
+    np.testing.assert_array_equal(sb["versions"], mp_tab["versions"][o])
+    for k in sb:
+        if k.startswith("slot__"):
+            np.testing.assert_allclose(sb[k], mp_tab[k][o],
+                                       atol=1e-6, rtol=1e-5)
+
+    # cross-engine + cross-shard-count restore: 2-process host-sharded
+    # checkpoint -> single-process 4-shard DEVICE-index trainer
+    from deeprec_tpu.checkpoint import CheckpointManager
+    tr_r = ShardedTrainer(mesh=make_mesh(4), **make_common())
+    st_r = tr_r.init(jax.random.key(0), global_batch(0))
+    st_r, ok = CheckpointManager(ckpt).restore(tr_r, st_r)
+    assert ok
+    assert int(st_r.step) == STEPS
+    sr = _snap(tr_r, st_r)
+    np.testing.assert_array_equal(sb["keys"], sr["keys"])
+    np.testing.assert_allclose(sb["values"], sr["values"], atol=1e-6)
+    np.testing.assert_array_equal(sb["freqs"], sr["freqs"])
+    st_r = tr_r.train_step(st_r, global_batch(STEPS))
+    assert np.isfinite(float(st_r.metrics.loss_sum))
