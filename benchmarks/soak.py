@@ -308,6 +308,8 @@ def main():
         mstate = tr.eval_step(state, mstate, b)
     eval_m = M.summarize(mstate)
 
+    if not fence_times:  # warm-up ate the whole budget (cold cache on a
+        fence_times = [float("nan")]  # slow tunnel): report, don't crash
     ft = np.asarray(fence_times) * 1e3
     summary = {
         "metric": "soak_dcn_minutes",

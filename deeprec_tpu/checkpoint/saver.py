@@ -298,8 +298,42 @@ class CheckpointManager:
         self.keep = keep
         self._last_full_time = time.time()
         self._last_incr_time = time.time()
+        self._aux = {}  # name -> (snapshot_fn, restore_fn)
         saves = F.list_saves(directory)
         self._last_save_step = saves[-1]["step"] if saves else None
+
+    # -- auxiliary run state (WorkQueue position etc.) -----------------------
+    def attach_aux(self, name: str, snapshot_fn, restore_fn) -> None:
+        """Save/restore a JSON-able side state with every checkpoint —
+        the SaveableObject channel of the reference's WorkQueue
+        (python/ops/work_queue.py:113): restoring an older checkpoint must
+        rewind the data position along with the tables. ``snapshot_fn()``
+        runs at each save (process 0); ``restore_fn(state)`` runs after a
+        successful restore with the NEWEST applied save's snapshot (pass
+        ``None`` when the caller already applied it out-of-band, e.g. the
+        CLI rewinds its WorkQueue at stream creation, before any item is
+        claimed)."""
+        self._aux[name] = (snapshot_fn, restore_fn)
+
+    def _write_aux(self, path: str, part) -> None:
+        if part not in (None, 0) or not self._aux:
+            return
+        import json
+        for name, (snap, _) in self._aux.items():
+            tmp = os.path.join(path, f"aux_{name}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(snap(), f)
+            os.replace(tmp, os.path.join(path, f"aux_{name}.json"))
+
+    def _restore_aux(self, newest_path: str) -> None:
+        import json
+        for name, (_, restore_fn) in self._aux.items():
+            if restore_fn is None:
+                continue
+            p = os.path.join(newest_path, f"aux_{name}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    restore_fn(json.load(f))
 
     # -- save --------------------------------------------------------------
     def _collect(self, trainer, state, since: Optional[int], evict: bool):
@@ -342,6 +376,7 @@ class CheckpointManager:
             "tables": {n: int(t["keys"].shape[0]) if "keys" in t else -1
                        for n, t in tables.items()},
         }, dense, tables, part=part, n_parts=n_parts, barrier=barrier)
+        self._write_aux(path, part)
         self._last_save_step = step
         self._last_full_time = time.time()
         if part in (None, 0):
@@ -361,6 +396,7 @@ class CheckpointManager:
             "tables": {n: int(t["keys"].shape[0]) if "keys" in t else -1
                        for n, t in tables.items()},
         }, dense, tables, part=part, n_parts=n_parts, barrier=barrier)
+        self._write_aux(path, part)
         self._last_save_step = step
         self._last_incr_time = time.time()
         return path
@@ -520,6 +556,7 @@ class CheckpointManager:
         if grew:
             trainer.rejit()
         self._last_save_step = int(step)
+        self._restore_aux((incrs[-1] if incrs else base)["path"])
         return state, True
 
 

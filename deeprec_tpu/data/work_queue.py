@@ -130,6 +130,48 @@ class WorkQueue:
                 os.unlink(os.path.join(d, f))
         self._cursor = 0
 
+    # -- checkpoint state ---------------------------------------------------
+    # The reference WorkQueue is a SaveableObject: queue position lives IN
+    # the training checkpoint (python/ops/work_queue.py:113), so restoring
+    # an older checkpoint rewinds the data position consistently with the
+    # table state — work claimed between that save and a crash is re-served,
+    # not silently skipped. Attach to a CheckpointManager:
+    #     mgr.attach_aux("workqueue", q.snapshot, q.restore_snapshot)
+
+    def snapshot(self) -> dict:
+        """Claim state at this instant (JSON-safe)."""
+        if self.path is None:
+            with self._lock:
+                claims = sorted(self._mem_claims)
+        else:
+            claims = sorted(os.listdir(os.path.join(self.path, "claims")))
+        return {"claims": claims, "items": self.items,
+                "num_epochs": self.num_epochs}
+
+    def restore_snapshot(self, snap: dict) -> None:
+        """Rewind the claim namespace to EXACTLY a snapshot's state.
+
+        Run from ONE process before workers resume (the reference's queue
+        restore also happens on the PS hosting the queue). Claims taken
+        after the snapshot are released (their items will be re-served);
+        claims present in the snapshot are re-asserted."""
+        if snap.get("items", self.items) != self.items:
+            raise ValueError("WorkQueue snapshot was taken over different "
+                             "items")
+        want = set(snap["claims"])
+        if self.path is None:
+            with self._lock:
+                self._mem_claims = set(want)
+        else:
+            d = os.path.join(self.path, "claims")
+            have = set(os.listdir(d))
+            for name in have - want:
+                os.unlink(os.path.join(d, name))
+            for name in want - have:
+                with open(os.path.join(d, name), "w") as f:
+                    f.write(self.worker)
+        self._cursor = 0  # rescan; claims decide
+
 
 def input_producer(queue: WorkQueue, reader, *reader_args, **reader_kwargs):
     """Chain a WorkQueue with a per-item batch reader: yields batches from

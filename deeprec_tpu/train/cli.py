@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -328,6 +329,11 @@ def run(spec: ModelSpec, args) -> dict:
     if args.checkpoint:
         mgr = CheckpointManager(args.checkpoint, full_secs=args.save_secs,
                                 incr_secs=args.incr_save_secs)
+        q = getattr(args, "_workqueue", None)
+        if q is not None:
+            # queue position saves with every checkpoint; the restore side
+            # already ran at stream creation (criteo_train_stream)
+            mgr.attach_aux("workqueue", q.snapshot, None)
         state, restored = mgr.restore(tr, state)
         if restored:
             print(f"restored from {args.checkpoint} at step {int(state.step)}")
@@ -577,6 +583,22 @@ def criteo_train_stream(args):
             files = files[:-1]  # last file is the eval holdout
         if args.workqueue:
             q = WorkQueue(files, path=args.workqueue, num_epochs=1000)
+            if getattr(args, "checkpoint", ""):
+                # rewind the queue to the newest checkpoint's saved claim
+                # state BEFORE any item is claimed (reference WorkQueue
+                # SaveableObject semantics, work_queue.py:113): work done
+                # between that save and a crash is re-served, not skipped.
+                # run() then attaches the snapshot side to the manager.
+                import json as _json
+                from ..checkpoint import format as F
+                base, incrs = F.restore_plan(args.checkpoint)
+                newest = (incrs[-1] if incrs else base) if base else None
+                if newest:
+                    p = os.path.join(newest["path"], "aux_workqueue.json")
+                    if os.path.exists(p):
+                        with open(p) as f:
+                            q.restore_snapshot(_json.load(f))
+            args._workqueue = q
             return input_producer(q, read_criteo, batch_size=args.batch_size)
         def gen():
             while True:
