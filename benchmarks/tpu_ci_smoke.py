@@ -156,10 +156,10 @@ def leg_serving_daemon():
     _t.Thread(target=srv.serve_forever, daemon=True).start()
     port = srv.server_address[1]
     try:
-        payload = json.dumps({
-            "I1": [1.0, 2.0], "C1": [123, 456]}).encode()
+        payload = json.dumps({"inputs": {
+            "I1": [1.0, 2.0], "C1": [123, 456]}}).encode()
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/predict", data=payload,
+            f"http://127.0.0.1:{port}/v1/predict", data=payload,
             headers={"Content-Type": "application/json"})
         t0 = time.perf_counter()
         with urllib.request.urlopen(req, timeout=120) as r:

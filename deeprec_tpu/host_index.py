@@ -499,10 +499,14 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         n = self._resolver.size
         if n == 0:
             return state, slot_state, 0
-        versions = np.asarray(state.versions[:n])
-        freqs = np.asarray(state.freqs[:n])
+        # pow2-padded device reads: each DISTINCT shape is a fresh XLA
+        # compile — unpadded sweeps compiled per live-row/cold count and
+        # stalled fences for minutes on a slow-compile link
+        np2 = min(1 << (max(n, 8) - 1).bit_length(), state.capacity)
+        versions = np.asarray(state.versions[:np2])[:n]
+        freqs = np.asarray(state.freqs[:np2])[:n]
         occupied = np.ones((n,), bool)
-        values_np = (np.asarray(state.values[:n])
+        values_np = (np.asarray(state.values[:np2])[:n]
                      if isinstance(cfg.evict, L2WeightEvict)
                      else np.zeros((n, 1), np.float32))
         cold = ev.cold_mask_np(cfg, values_np, versions, occupied,
@@ -516,15 +520,20 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         keys_cold = keys[idx]
 
         # payload: gather ONLY the cold rows on device, then one D2H
+        # (cold index pow2-padded with the null row for the same reason)
         spec = TP.spec(state.values.shape[1], slot_state, cfg.capacity + 1)
-        didx = jnp.asarray(idx, jnp.int32)
-        vals_cold = np.asarray(state.values[didx])
-        cs_cold = np.asarray(state.create_steps[didx])
+        m = idx.shape[0]
+        mp2 = 1 << (max(m, 8) - 1).bit_length()
+        didx = np.full((mp2,), state.capacity, np.int32)
+        didx[:m] = idx
+        didx = jnp.asarray(didx)
+        vals_cold = np.asarray(state.values[didx])[:m]
+        cs_cold = np.asarray(state.create_steps[didx])[:m]
         leaves = list(jax.tree_util.tree_leaves(slot_state))
         leaves_cold = list(leaves)
         for s in spec.slot_rows:
-            leaves_cold[s.index] = np.asarray(leaves[s.index][didx])
-        payload = TP.pack_np(spec, np.arange(idx.shape[0]), vals_cold,
+            leaves_cold[s.index] = np.asarray(leaves[s.index][didx])[:m]
+        payload = TP.pack_np(spec, np.arange(m), vals_cold,
                              freqs[idx], versions[idx], cs_cold,
                              leaves_cold)
         if self.tier_store is None:
@@ -706,10 +715,12 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
         st = bundle.ev
         n = self._resolver.size
         keys = self._resolver.export_keys()
-        values = np.asarray(st.values[:n])
-        freqs = np.asarray(st.freqs[:n])
-        versions = np.asarray(st.versions[:n])
-        create_steps = np.asarray(st.create_steps[:n])
+        # pow2-padded reads: distinct slice shapes are distinct compiles
+        np2 = min(1 << (max(n, 8) - 1).bit_length(), st.capacity)
+        values = np.asarray(st.values[:np2])[:n]
+        freqs = np.asarray(st.freqs[:np2])[:n]
+        versions = np.asarray(st.versions[:np2])[:n]
+        create_steps = np.asarray(st.create_steps[:np2])[:n]
 
         touched = None
         if since is not None and not cfg.version_tracked:
@@ -744,7 +755,7 @@ class HostIndexEmbeddingCollection(EmbeddingCollection):
             out["cbf_shards"] = np.asarray(1, np.int32)
         for name, leaf in F.slot_leaf_names(bundle.slot):
             if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == cfg.capacity + 1:
-                out[f"slot__{name}"] = np.asarray(leaf[:n])[idx]
+                out[f"slot__{name}"] = np.asarray(leaf[:np2])[:n][idx]
             else:
                 out[f"scalar__{name}"] = np.asarray(leaf)
         return out

@@ -86,9 +86,10 @@ def test_dynamicdim_collection_trains():
     rare = (freqs > 0) & (freqs < 20)
     if rare.any():
         rows = np.asarray(st.values[:-1])[rare]
-        # gradient never reached block 2 of rare rows; acc slot confirms
+        # gradient never reached block 2 of rare rows: its acc stays at
+        # make_trainer's initial_accumulator_value (0.01) — untouched
         acc = np.asarray(state.tables["emb"].slot["acc"][:-1])[rare]
-        np.testing.assert_allclose(acc[:, 4:], 0.1, atol=1e-6)  # untouched
+        np.testing.assert_allclose(acc[:, 4:], 0.01, atol=1e-6)
 
 
 def test_variant_checkpoint_roundtrip(tmp_path):
