@@ -140,11 +140,19 @@ def _positions_by_owner(owner: np.ndarray, S: int) -> np.ndarray:
 
 
 class HostShardedCollection(HostIndexEmbeddingCollection):
-    """Drop-in collection for ``ShardedTrainer`` on a single-controller
-    mesh: the host resolves every shard's lookup one step ahead."""
+    """Drop-in collection for ``ShardedTrainer``: the host(s) resolve
+    every shard's lookup one step ahead — single-controller meshes
+    locally, multi-process meshes via the host bucket exchange (module
+    docstring)."""
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        if self._tiered:
+            raise NotImplementedError(
+                "tiered storage on the host-SHARDED engine: use the "
+                "single-chip HostIndexEmbeddingCollection (tiering rides "
+                "its resolve wire) or TieredShardedTrainer with the "
+                "device-index EmbeddingCollection on meshes")
         self._shard_resolvers: Optional[List[HostIndexResolver]] = None
         self._dedup_resolvers: Optional[List[HostIndexResolver]] = None
         self._S = None
