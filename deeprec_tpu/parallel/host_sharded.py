@@ -183,7 +183,13 @@ class HostShardedCollection(HostIndexEmbeddingCollection):
                 self._lo, hi = local_shard_range(mesh, axis, S)
                 self._S_local = hi - self._lo
                 from .host_exchange import HostBucketExchange
-                self._hx = HostBucketExchange(tag=f"hs-{self.config.name}")
+                # soft one-step-ahead deadline: a sharded train step is
+                # single-digit-ms on chip; 50 ms of host exchange means
+                # the resolve can no longer hide under it — count it
+                # (host_health "exchange_late_steps"; the CLI watchdog
+                # alarms), but always complete the step
+                self._hx = HostBucketExchange(tag=f"hs-{self.config.name}",
+                                              deadline_ms=50.0)
             else:
                 self._S_local = S
             ng = self._resolver.n_groups

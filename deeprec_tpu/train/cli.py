@@ -224,6 +224,13 @@ def _check_health(tr, state, writer, last: dict) -> dict:
                 slack = tr.raise_bucket_slack()
                 msg += f" -> bucket_slack raised to {slack:.2f}"
             print(msg)
+        if h.get("exchange_late_steps", 0) > prev.get(
+                "exchange_late_steps", 0):
+            print(f"WARNING table {name}: host bucket exchange missed the "
+                  f"one-step-ahead deadline "
+                  f"{h['exchange_late_steps']} step(s) cumulative — the "
+                  "DCN link is not keeping up with the device step; "
+                  "steps stay correct but no longer overlap")
         if (h["max_unique"]
                 and h["unique_saturated_steps"] > prev.get(
                     "unique_saturated_steps", 0)):
